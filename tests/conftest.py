@@ -8,12 +8,15 @@ slice (SURVEY.md §4c).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force CPU even when the session env pins JAX_PLATFORMS=axon (real TPU):
+# tests must be hermetic and run on the 8-device virtual mesh.  The axon
+# plugin wins over the env var, so use the config API, which does override.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
