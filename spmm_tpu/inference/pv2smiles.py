@@ -1,0 +1,138 @@
+"""PV -> SMILES k-beam generation (reference d_pv2smiles_single.py / _batched.py).
+
+Two workloads over the same device kernel:
+  - single-query: one (possibly partially masked) property vector; draw
+    ``n_generate`` independent stochastic (or deterministic) k-beam searches
+    (reference d_pv2smiles_single.py:55-111).  TPU: the searches are
+    vmap-batched — hundreds of beam searches run as one XLA program.
+  - batched/file mode: one PV per input molecule, NO property masking,
+    deterministic k-beam with stop_count=k (reference d_pv2smiles_batched.py:
+    17-59; note its k**1 stop vs the single-query k**2).
+
+The beam kernel itself lives in spmm_tpu.inference.decoding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.configs import BertArchConfig, property_config, text_config
+from spmm_tpu.inference.decoding import BeamSpec, beam_search
+from spmm_tpu.models import spmm
+from spmm_tpu.tokenizer import SmilesTokenizer
+
+Params = dict[str, Any]
+
+
+def encode_pv(
+    params: Params,
+    pv_normalized: jnp.ndarray,          # [B, 53]
+    prop_mask: Optional[jnp.ndarray],    # [B, 53] 1 = masked, or None
+    prop_cfg: Optional[BertArchConfig] = None,
+) -> jnp.ndarray:
+    """PV -> property-encoder hiddens [B, 54, H]
+    (reference d_pv2smiles_single.py:69-76)."""
+    prop_cfg = prop_cfg or property_config()
+    inputs = spmm.embed_properties(params, pv_normalized, prop_mask)
+    return spmm.encode_properties(params, prop_cfg, inputs)
+
+
+@partial(jax.jit, static_argnames=("spec", "text_cfg", "prop_cfg"))
+def _beam_batch(
+    params: Params,
+    pv: jnp.ndarray,                  # [B, 53] normalized
+    prop_mask: Optional[jnp.ndarray], # [B, 53] or None
+    rngs: jnp.ndarray,                # [B, 2] PRNG keys
+    spec: BeamSpec,
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
+):
+    text_cfg = text_cfg or text_config()
+    prop_embeds = encode_pv(params, pv, prop_mask, prop_cfg)       # [B, 54, H]
+    cross_mask = jnp.ones(prop_embeds.shape[:2], jnp.int32)
+
+    def one(embeds, mask, rng):
+        return beam_search(params["text_encoder"], text_cfg, embeds, mask,
+                           spec, rng)
+
+    return jax.vmap(one)(prop_embeds, cross_mask, rngs)
+
+
+def _decode_beams(tok: SmilesTokenizer, result, i: int, k: int,
+                  stochastic: bool, py_rng) -> str:
+    """Host-side: pick the output string for query i from the top-k beams
+    (reference d_pv2smiles_single.py:102-110: deterministic takes the best,
+    stochastic picks uniformly among the k; sequences decode as
+    sentence[:-1] with '[CLS]' removed)."""
+    n_fin = int(result["n_finished"][i])
+    seqs = np.asarray(result["seqs"][i])
+    lens = np.asarray(result["lengths"][i])
+    n_avail = k if n_fin == 0 else min(k, n_fin)
+    choice = 0 if not stochastic else py_rng.randrange(n_avail)
+    ids = seqs[choice][: max(int(lens[choice]) - 1, 1)]   # strip trailing SEP
+    return tok.decode(ids)
+
+
+def generate_with_property(
+    params: Params,
+    tok: SmilesTokenizer,
+    pv_normalized: np.ndarray,        # [53] already z-normalized
+    prop_mask: np.ndarray,            # [53] 1 = masked
+    n_generate: int = 1000,
+    k: int = 2,
+    stochastic: bool = True,
+    seed: int = 0,
+    device_batch: int = 128,
+) -> list[str]:
+    """Single-query workload: n_generate beam searches over one condition."""
+    import random as _random
+
+    spec = BeamSpec(k=k, stop_count=k * k, stochastic=stochastic)
+    py_rng = _random.Random(seed)
+    master = jax.random.PRNGKey(seed)
+    out: list[str] = []
+    for start in range(0, n_generate, device_batch):
+        n = min(device_batch, n_generate - start)
+        # pad the batch to the fixed device_batch so XLA sees one shape
+        pv = jnp.broadcast_to(jnp.asarray(pv_normalized), (device_batch, 53))
+        mask = jnp.broadcast_to(jnp.asarray(prop_mask), (device_batch, 53))
+        rngs = jax.random.split(jax.random.fold_in(master, start), device_batch)
+        result = jax.device_get(_beam_batch(params, pv, mask, rngs, spec))
+        for i in range(n):
+            out.append(_decode_beams(tok, result, i, k, stochastic, py_rng))
+    return out
+
+
+def generate_batched(
+    params: Params,
+    tok: SmilesTokenizer,
+    pvs_normalized: np.ndarray,       # [N, 53]
+    k: int = 2,
+    stochastic: bool = False,
+    seed: int = 0,
+    device_batch: int = 64,
+) -> list[str]:
+    """File-mode workload: one deterministic k-beam per molecule,
+    stop_count=k, no property masking (reference d_pv2smiles_batched.py)."""
+    import random as _random
+
+    spec = BeamSpec(k=k, stop_count=k, stochastic=stochastic)
+    py_rng = _random.Random(seed)
+    master = jax.random.PRNGKey(seed)
+    n_total = pvs_normalized.shape[0]
+    out: list[str] = []
+    for start in range(0, n_total, device_batch):
+        n = min(device_batch, n_total - start)
+        chunk = np.zeros((device_batch, 53), np.float32)
+        chunk[:n] = pvs_normalized[start: start + n]
+        rngs = jax.random.split(jax.random.fold_in(master, start), device_batch)
+        result = jax.device_get(
+            _beam_batch(params, jnp.asarray(chunk), None, rngs, spec))
+        for i in range(n):
+            out.append(_decode_beams(tok, result, i, k, stochastic, py_rng))
+    return out

@@ -1,0 +1,119 @@
+"""Reaction-prediction decoding (reference d_rxn_prediction.py:55-123).
+
+Forward/retro synthesis share one model; decoding is either batch greedy
+(n_beam=1) or per-sample k-beam (n_beam>1, stop_count=k**2).  Both run on the
+KV-cached device kernels; the greedy path batches whole eval sets where the
+reference decodes 32 molecules per Python loop, and the beam path vmaps many
+molecules at once where the reference does batch_size=1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.configs import BertArchConfig, smiles_config, text_config
+from spmm_tpu.inference.decoding import BeamSpec, beam_search, greedy_decode
+from spmm_tpu.models.rxn import encode_reactants
+from spmm_tpu.tokenizer import SmilesTokenizer
+
+Params = dict[str, Any]
+
+
+@partial(jax.jit, static_argnames=("decoder_cfg", "encoder_cfg", "max_steps"))
+def _greedy_batch(
+    params: Params,
+    src_ids: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    decoder_cfg: Optional[BertArchConfig] = None,
+    encoder_cfg: Optional[BertArchConfig] = None,
+    max_steps: int = 100,
+):
+    decoder_cfg = decoder_cfg or text_config()
+    encoder_cfg = encoder_cfg or smiles_config()
+    enc = encode_reactants(params, encoder_cfg, src_ids, src_mask)
+    return greedy_decode(params["decoder"], decoder_cfg, enc, src_mask,
+                         max_steps=max_steps)
+
+
+@partial(jax.jit, static_argnames=("spec", "decoder_cfg", "encoder_cfg"))
+def _beam_batch(
+    params: Params,
+    src_ids: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    rngs: jnp.ndarray,
+    spec: BeamSpec,
+    decoder_cfg: Optional[BertArchConfig] = None,
+    encoder_cfg: Optional[BertArchConfig] = None,
+):
+    decoder_cfg = decoder_cfg or text_config()
+    encoder_cfg = encoder_cfg or smiles_config()
+    enc = encode_reactants(params, encoder_cfg, src_ids, src_mask)
+
+    def one(e, m, r):
+        return beam_search(params["decoder"], decoder_cfg, e, m, spec, r)
+
+    return jax.vmap(one)(enc, src_mask, rngs)
+
+
+def _truncate_at_sep(ids: np.ndarray, sep_id: int = 3) -> np.ndarray:
+    hits = np.nonzero(ids == sep_id)[0]
+    return ids[: hits[0]] if len(hits) else ids
+
+
+def predict_greedy(
+    params: Params,
+    tok: SmilesTokenizer,
+    sources: list[str],
+    batch_size: int = 32,
+    max_src_len: int = 150,
+) -> list[str]:
+    """Batch greedy decode; sources are raw reactant strings (no [CLS])."""
+    out: list[str] = []
+    for start in range(0, len(sources), batch_size):
+        batch = sources[start: start + batch_size]
+        ids, mask = tok.encode_batch(
+            ["[CLS]" + s for s in batch], max_len=max_src_len, truncation=False,
+            buckets=(32, 64, 96, 128, max_src_len))
+        res = jax.device_get(_greedy_batch(
+            params, jnp.asarray(ids), jnp.asarray(mask)))
+        for i in range(len(batch)):
+            seq = _truncate_at_sep(np.asarray(res["seqs"][i]))
+            out.append(tok.decode(seq))
+    return out
+
+
+def predict_beam(
+    params: Params,
+    tok: SmilesTokenizer,
+    sources: list[str],
+    k: int = 3,
+    batch_size: int = 32,
+    max_src_len: int = 150,
+    seed: int = 0,
+) -> list[list[str]]:
+    """Per-sample k-beam decode; returns top-k candidate strings per source."""
+    spec = BeamSpec(k=k, stop_count=k * k, stochastic=False)
+    master = jax.random.PRNGKey(seed)
+    out: list[list[str]] = []
+    for start in range(0, len(sources), batch_size):
+        batch = sources[start: start + batch_size]
+        ids, mask = tok.encode_batch(
+            ["[CLS]" + s for s in batch], max_len=max_src_len, truncation=False,
+            buckets=(32, 64, 96, 128, max_src_len))
+        rngs = jax.random.split(jax.random.fold_in(master, start), len(batch))
+        res = jax.device_get(_beam_batch(
+            params, jnp.asarray(ids), jnp.asarray(mask), rngs, spec))
+        for i in range(len(batch)):
+            n_fin = int(res["n_finished"][i])
+            n_avail = k if n_fin == 0 else min(k, n_fin)
+            cands = []
+            for j in range(n_avail):
+                ln = max(int(res["lengths"][i][j]) - 1, 1)
+                cands.append(tok.decode(np.asarray(res["seqs"][i][j][:ln])))
+            out.append(cands)
+    return out

@@ -1,0 +1,80 @@
+"""SMILES -> property-vector generation (reference d_smiles2pv.py).
+
+The reference autoregressively decodes the 53 properties one at a time: start
+from the learned property-CLS vector, and at each step (i) re-encode the whole
+property prefix BIDIRECTIONALLY with the 6-layer property encoder, (ii) run
+the 6 fusion layers as a causal decoder cross-attending over the SMILES
+hiddens, (iii) read property i off the last position via the MTR head, and
+(iv) feed the prediction back through property_embed
+(reference d_smiles2pv.py:14-26,46-57).
+
+Because the property encoder is bidirectional over a *growing* prefix, every
+step's hidden states legitimately change — KV caching would alter semantics,
+so the TPU implementation keeps the 53 full re-encodes but runs them as ONE
+jitted ``lax.scan`` over a fixed 54-slot buffer with length masking: a single
+compilation, static shapes, zero host round-trips (the reference pays 53
+Python-loop device syncs per batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.configs import BertArchConfig, property_config, text_config
+from spmm_tpu.models import bert as jbert
+from spmm_tpu.models import spmm
+
+Params = dict[str, Any]
+
+
+@partial(jax.jit, static_argnames=("text_cfg", "prop_cfg", "n_properties"))
+def predict_pv(
+    params: Params,
+    input_ids: jnp.ndarray,        # [B, L] SMILES tokens (leading CLS dropped)
+    attention_mask: jnp.ndarray,   # [B, L]
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
+    n_properties: int = spmm.N_PROPERTIES,
+) -> jnp.ndarray:
+    """Returns normalized property predictions [B, 53]."""
+    text_cfg = text_cfg or text_config()
+    prop_cfg = prop_cfg or property_config()
+
+    text_embeds = spmm.encode_text(params, text_cfg, input_ids, attention_mask)
+
+    b = input_ids.shape[0]
+    h = text_cfg.hidden_size
+    buf = jnp.zeros((b, n_properties + 1, h), jnp.float32)
+    buf = buf.at[:, 0, :].set(
+        jnp.broadcast_to(params["property_cls"][0, 0], (b, h)))
+
+    positions = jnp.arange(n_properties + 1)
+
+    def step(carry, i):
+        buf = carry
+        prefix_mask = (positions <= i).astype(jnp.int32)          # [54]
+        pmask = jnp.broadcast_to(prefix_mask, (b, n_properties + 1))
+        prop_embeds = spmm.encode_properties(params, prop_cfg, buf,
+                                             attention_mask=pmask)
+        fused = jbert.bert_forward(
+            params["text_encoder"]["bert"], text_cfg,
+            encoder_embeds=prop_embeds,
+            attention_mask=pmask,
+            encoder_hidden_states=text_embeds,
+            encoder_attention_mask=attention_mask,
+            is_decoder=True,
+            mode="fusion",
+        )
+        # "last position" of the active prefix = index i
+        pred = spmm.mtr_head_forward(
+            params["property_mtr_head"], text_cfg, fused)[:, i]   # [B]
+        emb = jbert.dense(params["property_embed"], pred[:, None, None])  # [B,1,H]
+        buf = jax.lax.dynamic_update_slice(buf, emb, (0, i + 1, 0))
+        return buf, pred
+
+    _, preds = jax.lax.scan(step, buf, jnp.arange(n_properties))
+    return preds.T                                                # [B, 53]
