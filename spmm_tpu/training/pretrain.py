@@ -1,0 +1,396 @@
+"""SPMM pretraining: four objectives, momentum encoders, feature queues, and a
+single jitted data-parallel train step.
+
+Faithful re-implementation of the reference forward (SPMM_models.py:79-256)
+and training_step (:348-380) in functional style:
+
+  ITA   4-way InfoNCE (i2t/t2i/i2i/t2t) against [in-batch ⊕ queue] negatives,
+        soft targets alpha-blended with momentum similarities, /temp, /2.
+  ITM   structure-property matching over CLS pairs from BOTH fusion
+        directions, with in-batch hard negatives sampled from the softmaxed
+        similarity rows (diagonal zeroed).
+  MLM   causal next-token LM over SMILES conditioned on the PV via
+        cross-attention; CE over ALL positions (pads included — the reference
+        uses ignore_index=-100 but pad labels are 0, SPMM_models.py:233-234)
+        plus alpha-weighted distillation vs momentum logits (pads excluded).
+  MPM   causal property decoding over text; MSE on the NON-masked positions
+        (pred[(1-mpm_mask).bool()], SPMM_models.py:254), x5 weight.
+
+Distributed semantics match the reference's 8-GPU DDP (SURVEY §2.3): the step
+runs under ``shard_map`` over a 1-D 'dp' mesh — every shard computes the loss
+over its LOCAL batch (local in-batch negatives, like per-rank DDP), grads are
+``pmean``-reduced, and the momentum features are ``all_gather``-ed to update
+the replicated queues (reference concat_all_gather, SPMM_models.py:389-399).
+
+State is explicit: {params (incl. temp), ema, queue{prop,text,ptr}, opt_state,
+step}.  The EMA update happens BEFORE the forward uses the momentum encoders,
+matching the reference call order (SPMM_models.py:98-99).  A non-finite loss
+skips the optimizer and queue updates, mirroring the reference NaN guard
+(SPMM_models.py:132-133,359-364).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from spmm_tpu.configs import (
+    BertArchConfig, PretrainConfig, property_config, text_config,
+)
+from spmm_tpu.models import bert as jbert
+from spmm_tpu.models import spmm
+from spmm_tpu.parallel.mesh import DP_AXIS
+from spmm_tpu.training.schedules import reference_cosine_schedule
+
+Params = dict[str, Any]
+
+EMA_KEYS = ("property_encoder", "property_proj", "text_encoder", "text_proj")
+
+
+# --------------------------------------------------------------------------- #
+# state
+# --------------------------------------------------------------------------- #
+
+
+def make_optimizer(pcfg: PretrainConfig):
+    def opt(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(pcfg.grad_clip),
+            optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=pcfg.weight_decay),
+        )
+
+    return optax.inject_hyperparams(opt)(learning_rate=0.0)
+
+
+def init_pretrain_state(
+    rng: jax.Array,
+    pcfg: PretrainConfig,
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
+) -> Params:
+    text_cfg = text_cfg or text_config()
+    prop_cfg = prop_cfg or property_config()
+    r1, r2, r3 = jax.random.split(rng, 3)
+    params = spmm.init_spmm_params(r1, text_cfg, prop_cfg, pcfg.embed_dim)
+    params["temp"] = jnp.asarray(pcfg.temp, jnp.float32)
+    ema = {k: jax.tree.map(lambda x: x, params[k]) for k in EMA_KEYS}
+    q_prop = jax.random.normal(r2, (pcfg.embed_dim, pcfg.queue_size))
+    q_text = jax.random.normal(r3, (pcfg.embed_dim, pcfg.queue_size))
+    queue = {
+        "prop": q_prop / jnp.linalg.norm(q_prop, axis=0, keepdims=True),
+        "text": q_text / jnp.linalg.norm(q_text, axis=0, keepdims=True),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+    tx = make_optimizer(pcfg)
+    return {
+        "params": params,
+        "ema": ema,
+        "queue": queue,
+        "opt_state": tx.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# loss
+# --------------------------------------------------------------------------- #
+
+
+def _normalize(x):
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def pretrain_loss(
+    params: Params,
+    ema: Params,
+    queue: Params,
+    batch: Params,      # {"prop": [B,53], "ids": [B,L], "mask": [B,L]}
+    rng: jax.Array,
+    alpha: jnp.ndarray,
+    text_cfg: BertArchConfig,
+    prop_cfg: BertArchConfig,
+    pcfg: PretrainConfig,
+    deterministic: bool = False,
+):
+    """Returns (total_loss, aux)."""
+    prop_orig, ids, mask = batch["prop"], batch["ids"], batch["mask"]
+    bs = prop_orig.shape[0]
+    rngs = jax.random.split(rng, 13)
+
+    # temperature: clamp(0.01, 0.5) with straight-through gradient
+    # (reference clamps .data in-place pre-forward, SPMM_models.py:80-81)
+    temp_raw = params["temp"]
+    temp = temp_raw + jax.lax.stop_gradient(
+        jnp.clip(temp_raw, 0.01, 0.5) - temp_raw)
+
+    # ---- property masking: Bernoulli(0.5), 1 = masked ----
+    mpm_mask = jax.random.bernoulli(
+        rngs[0], pcfg.mask_prob, prop_orig.shape).astype(jnp.float32)
+    properties = spmm.embed_properties(params, prop_orig, mpm_mask)  # [B,54,H]
+
+    # ---- unimodal encoders ----
+    prop_embeds = spmm.encode_properties(
+        params, prop_cfg, properties, deterministic=deterministic, rng=rngs[1])
+    prop_atts = jnp.ones(prop_embeds.shape[:2], jnp.int32)
+    prop_feat = _normalize(jbert.dense(params["property_proj"],
+                                       prop_embeds[:, 0]))
+    text_embeds = spmm.encode_text(
+        params, text_cfg, ids, mask, deterministic=deterministic, rng=rngs[2])
+    text_feat = _normalize(jbert.dense(params["text_proj"], text_embeds[:, 0]))
+
+    # ---- momentum features (no grad; EMA already updated by the caller) ----
+    prop_embeds_m = jax.lax.stop_gradient(spmm.encode_properties(
+        {"property_encoder": ema["property_encoder"]},
+        prop_cfg, properties, deterministic=deterministic, rng=rngs[3]))
+    prop_feat_m = jax.lax.stop_gradient(_normalize(
+        jbert.dense(ema["property_proj"], prop_embeds_m[:, 0])))
+    text_embeds_m = jax.lax.stop_gradient(jbert.bert_forward(
+        ema["text_encoder"]["bert"], text_cfg, input_ids=ids,
+        attention_mask=mask, mode="text",
+        deterministic=deterministic, rng=rngs[4]))
+    text_feat_m = jax.lax.stop_gradient(_normalize(
+        jbert.dense(ema["text_proj"], text_embeds_m[:, 0])))
+
+    prop_feat_all = jnp.concatenate([prop_feat_m.T, queue["prop"]], axis=1)
+    text_feat_all = jnp.concatenate([text_feat_m.T, queue["text"]], axis=1)
+
+    # ---- ITA ----
+    sim_i2t_m = prop_feat_m @ text_feat_all / temp
+    sim_t2i_m = text_feat_m @ prop_feat_all / temp
+    sim_i2i_m = prop_feat_m @ prop_feat_all / temp
+    sim_t2t_m = text_feat_m @ text_feat_all / temp
+
+    n_all = text_feat_all.shape[1]
+    sim_targets = (jnp.arange(bs)[:, None] == jnp.arange(n_all)[None, :]
+                   ).astype(jnp.float32)
+
+    def soft_targets(sim_m):
+        return alpha * jax.nn.softmax(sim_m, axis=1) + (1 - alpha) * sim_targets
+
+    sim_i2t = prop_feat @ text_feat_all / temp
+    sim_t2i = text_feat @ prop_feat_all / temp
+    sim_i2i = prop_feat @ prop_feat_all / temp
+    sim_t2t = text_feat @ text_feat_all / temp
+
+    def ce(sim, tgt):
+        return -jnp.sum(jax.nn.log_softmax(sim, axis=1) * tgt, axis=1).mean()
+
+    loss_ita = (ce(sim_i2t, soft_targets(sim_i2t_m))
+                + ce(sim_t2i, soft_targets(sim_t2i_m))
+                + ce(sim_i2i, soft_targets(sim_i2i_m))
+                + ce(sim_t2t, soft_targets(sim_t2t_m))) / 2.0
+
+    # ---- ITM with in-batch hard negatives ----
+    weights_i2t = jax.nn.softmax(sim_i2t[:, :bs], axis=1)
+    weights_t2i = jax.nn.softmax(sim_t2i[:, :bs], axis=1)
+    diag = jnp.eye(bs, dtype=bool)
+    log_w_i2t = jnp.log(jnp.where(diag, 0.0, weights_i2t) + 1e-30)
+    log_w_t2i = jnp.log(jnp.where(diag, 0.0, weights_t2i) + 1e-30)
+    neg_prop_idx = jax.random.categorical(rngs[5], log_w_t2i, axis=1)  # [B]
+    neg_text_idx = jax.random.categorical(rngs[6], log_w_i2t, axis=1)  # [B]
+    neg_prop_idx = jax.lax.stop_gradient(neg_prop_idx)
+    neg_text_idx = jax.lax.stop_gradient(neg_text_idx)
+
+    prop_embeds_neg = prop_embeds[neg_prop_idx]
+    text_embeds_neg = text_embeds[neg_text_idx]
+    text_atts_neg = mask[neg_text_idx]
+
+    # fused pos+neg fusion passes (batch-independent => identical numerics to
+    # the reference's separate pos / neg calls, SPMM_models.py:137-199)
+    prop_q = jnp.concatenate([prop_embeds, prop_embeds_neg, prop_embeds])
+    text_k = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
+    text_k_mask = jnp.concatenate([mask, mask, text_atts_neg])
+    prop_side = jbert.bert_forward(
+        params["text_encoder"]["bert"], text_cfg,
+        encoder_embeds=prop_q,
+        attention_mask=jnp.tile(prop_atts, (3, 1)),
+        encoder_hidden_states=text_k, encoder_attention_mask=text_k_mask,
+        mode="fusion", deterministic=deterministic, rng=rngs[7],
+    )[:, 0]
+    text_q = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
+    text_q_mask = jnp.concatenate([mask, mask, text_atts_neg])
+    prop_k = jnp.concatenate([prop_embeds, prop_embeds_neg, prop_embeds])
+    text_side = jbert.bert_forward(
+        params["text_encoder"]["bert"], text_cfg,
+        encoder_embeds=text_q, attention_mask=text_q_mask,
+        encoder_hidden_states=prop_k,
+        encoder_attention_mask=jnp.tile(prop_atts, (3, 1)),
+        mode="fusion", deterministic=deterministic, rng=rngs[8],
+    )[:, 0]
+    vl = jnp.concatenate([prop_side, text_side], axis=-1)      # [3B, 1536]
+    itm_logits = jbert.dense(params["itm_head"], vl)
+    itm_labels = jnp.concatenate(
+        [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)])
+    loss_itm = -jnp.take_along_axis(
+        jax.nn.log_softmax(itm_logits, axis=-1),
+        itm_labels[:, None], axis=1)[:, 0].mean()
+
+    # ---- MLM (causal next-token with PV conditioning + distillation) ----
+    logits_m = jax.lax.stop_gradient(jbert.mlm_forward(
+        ema["text_encoder"], text_cfg, input_ids=ids, attention_mask=mask,
+        encoder_hidden_states=prop_embeds_m, encoder_attention_mask=prop_atts,
+        is_decoder=True, deterministic=deterministic, rng=rngs[9],
+    ))[:, :-1, :]
+    mlm_logits = jbert.mlm_forward(
+        params["text_encoder"], text_cfg, input_ids=ids, attention_mask=mask,
+        encoder_hidden_states=prop_embeds, encoder_attention_mask=prop_atts,
+        is_decoder=True, deterministic=deterministic, rng=rngs[10],
+    )[:, :-1, :]
+    labels = ids[:, 1:]
+    logp = jax.nn.log_softmax(mlm_logits, axis=-1)
+    # plain mean CE over ALL positions (pads included; see module docstring)
+    loss_ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1).mean()
+    distill = -jnp.sum(logp * jax.nn.softmax(logits_m, axis=-1), axis=-1)
+    keep = (labels != 0).astype(jnp.float32)
+    loss_distill = jnp.sum(distill * keep) / jnp.maximum(keep.sum(), 1.0)
+    loss_mlm = (1 - alpha) * loss_ce + alpha * loss_distill
+
+    # ---- MPM (causal property regression over text) ----
+    prop_embeds_causal = spmm.encode_properties(
+        params, prop_cfg, properties, is_decoder=True,
+        deterministic=deterministic, rng=rngs[11])
+    prop_out = jbert.bert_forward(
+        params["text_encoder"]["bert"], text_cfg,
+        encoder_embeds=prop_embeds_causal, attention_mask=prop_atts,
+        encoder_hidden_states=text_embeds, encoder_attention_mask=mask,
+        is_decoder=True, mode="fusion", deterministic=deterministic,
+        rng=rngs[12],
+    )[:, :-1, :]
+    pred = spmm.mtr_head_forward(params["property_mtr_head"], text_cfg, prop_out)
+    keep_p = 1.0 - mpm_mask
+    loss_mpm = (jnp.sum(jnp.square(pred - prop_orig) * keep_p)
+                / jnp.maximum(keep_p.sum(), 1.0))
+
+    total = loss_mlm + pcfg.mpm_weight * loss_mpm + loss_ita + loss_itm
+    aux = {
+        "loss_mlm": loss_mlm,
+        "loss_mpm": pcfg.mpm_weight * loss_mpm,
+        "loss_ita": loss_ita,
+        "loss_itm": loss_itm,
+        "prop_feat_m": prop_feat_m,
+        "text_feat_m": text_feat_m,
+    }
+    return total, aux
+
+
+# --------------------------------------------------------------------------- #
+# train step
+# --------------------------------------------------------------------------- #
+
+
+def ema_update(ema: Params, params: Params, momentum: float) -> Params:
+    sub = {k: params[k] for k in EMA_KEYS}
+    return jax.tree.map(lambda e, p: e * momentum + p * (1.0 - momentum),
+                        ema, sub)
+
+
+def make_pretrain_step(
+    mesh,
+    pcfg: PretrainConfig,
+    steps_per_epoch: int,
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
+):
+    """Builds the jitted data-parallel train step.
+
+    batch arrays are GLOBAL (sharded on axis 0 over 'dp'); the queue size must
+    divide by the global batch (reference assert, SPMM_models.py:279).
+    """
+    text_cfg = text_cfg or text_config()
+    prop_cfg = prop_cfg or property_config()
+    tx = make_optimizer(pcfg)
+    schedule = reference_cosine_schedule(
+        pcfg.lr, pcfg.min_lr, pcfg.warmup_lr, pcfg.epochs,
+        pcfg.warmup_epochs, steps_per_epoch, step_size=100)
+
+    def local_grads(params, ema, queue, batch, rng, alpha):
+        # per-shard rng (distinct dropout/masking per device, like DDP ranks)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+        grad_fn = jax.value_and_grad(pretrain_loss, has_aux=True)
+        (loss, aux), grads = grad_fn(
+            params, ema, queue, batch, rng, alpha,
+            text_cfg, prop_cfg, pcfg)
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        loss = jax.lax.pmean(loss, DP_AXIS)
+        metrics = {k: jax.lax.pmean(aux[k], DP_AXIS)
+                   for k in ("loss_mlm", "loss_mpm", "loss_ita", "loss_itm")}
+        prop_feats = jax.lax.all_gather(
+            aux["prop_feat_m"], DP_AXIS, tiled=True)     # [B_global, E]
+        text_feats = jax.lax.all_gather(aux["text_feat_m"], DP_AXIS, tiled=True)
+        return grads, loss, metrics, prop_feats, text_feats
+
+    sharded_grads = shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DP_AXIS), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state, batch, rng):
+        # queue wraparound never happens when this divides (reference assert,
+        # SPMM_models.py:279); dynamic_update_slice would clamp otherwise
+        assert pcfg.queue_size % batch["prop"].shape[0] == 0, (
+            "queue_size must be divisible by the global batch size")
+        step = state["step"]
+        epoch = step // steps_per_epoch
+        batch_idx = step % steps_per_epoch
+        # alpha ramp over epoch 0 (reference SPMM_models.py:355)
+        alpha = jnp.where(
+            epoch > 0, pcfg.alpha,
+            pcfg.alpha * jnp.minimum(1.0, batch_idx / steps_per_epoch))
+
+        # EMA momentum update BEFORE the forward uses the momentum encoders
+        ema = ema_update(state["ema"], state["params"], pcfg.momentum)
+
+        grads, loss, metrics, prop_feats, text_feats = sharded_grads(
+            state["params"], ema, state["queue"], batch, rng, alpha)
+
+        finite = jnp.isfinite(loss)
+        lr = schedule(step)
+
+        def do_update(operand):
+            params, opt_state, queue = operand
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # keep the stored temperature inside its clamp range
+            new_params["temp"] = jnp.clip(new_params["temp"], 0.01, 0.5)
+            # queue dequeue/enqueue (reference SPMM_models.py:271-286)
+            gb = prop_feats.shape[0]
+            ptr = queue["ptr"]
+            new_queue = {
+                "prop": jax.lax.dynamic_update_slice(
+                    queue["prop"], prop_feats.T, (0, ptr)),
+                "text": jax.lax.dynamic_update_slice(
+                    queue["text"], text_feats.T, (0, ptr)),
+                "ptr": (ptr + gb) % pcfg.queue_size,
+            }
+            return new_params, new_opt, new_queue
+
+        def skip_update(operand):
+            return operand
+
+        new_params, new_opt, new_queue = jax.lax.cond(
+            finite, do_update, skip_update,
+            (state["params"], state["opt_state"], state["queue"]))
+
+        new_state = {
+            "params": new_params,
+            "ema": ema,
+            "queue": new_queue,
+            "opt_state": new_opt,
+            "step": step + 1,
+        }
+        metrics = {**metrics, "loss": loss, "lr": lr,
+                   "skipped": jnp.logical_not(finite)}
+        return new_state, metrics
+
+    return train_step
