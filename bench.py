@@ -1,0 +1,143 @@
+"""Headline benchmark: PV->SMILES k=2 beam-decode throughput (molecules/sec).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is the reference's primary perf surface (SURVEY §3.3 /
+BASELINE.md): batched PV->SMILES deterministic k=2 beam decode.  Both sides
+decode the SAME random-weight model for a fixed 60 token steps (no early
+termination), so the comparison is length-controlled:
+
+  - spmm_tpu: vmapped on-device beam search with KV cache (one chip);
+  - baseline: the reference's decode strategy — full-prefix re-forward per
+    token with host-side beam bookkeeping, PyTorch CPU (xbert oracle).  The
+    measured baseline is cached in bench_baseline.json so the bench also runs
+    where /root/reference or torch is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+N_MOLECULES = 128
+DEVICE_BATCH = 64
+MAX_STEPS = 60
+K = 2
+
+
+def bench_spmm_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from spmm_tpu.configs import property_config, text_config
+    from spmm_tpu.inference.decoding import BeamSpec
+    from spmm_tpu.inference.pv2smiles import _beam_batch
+    from spmm_tpu.models.spmm import init_spmm_params
+
+    params = init_spmm_params(jax.random.PRNGKey(0), with_pretrain_heads=False)
+    # stop_count is unreachable: both sides decode the full MAX_STEPS tokens
+    spec = BeamSpec(k=K, stop_count=K * K * MAX_STEPS, stochastic=False,
+                    max_steps=MAX_STEPS)
+    rngs = jax.random.split(jax.random.PRNGKey(1), DEVICE_BATCH)
+    pv = jax.random.normal(jax.random.PRNGKey(2), (DEVICE_BATCH, 53))
+
+    # warmup / compile
+    out = _beam_batch(params, pv, None, rngs, spec)
+    jax.block_until_ready(out)
+
+    n_batches = max(N_MOLECULES // DEVICE_BATCH, 1)
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        out = _beam_batch(params, pv, None, rngs, spec)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n_batches * DEVICE_BATCH / dt
+
+
+def bench_torch_cpu_baseline() -> float:
+    """Reference decode strategy on torch CPU (xbert oracle)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from reference_shim import import_reference_xbert
+
+    ref = import_reference_xbert()
+    import torch
+
+    torch.manual_seed(0)
+    tcfg = ref.BertConfig.from_json_file("/root/reference/config_bert.json")
+    model = ref.BertForMaskedLM(config=tcfg).eval()
+    prop_embeds = torch.randn(1, 54, 768)
+
+    def gen(product_input):
+        atts = torch.where(product_input == 0, 0, 1)
+        n = product_input.size(0)
+        with torch.no_grad():
+            logits = model(product_input, attention_mask=atts,
+                           encoder_hidden_states=prop_embeds.expand(n, -1, -1),
+                           encoder_attention_mask=torch.ones(n, 54,
+                                                             dtype=torch.long),
+                           return_dict=True, is_decoder=True,
+                           return_logits=True)[:, -1, :]
+        p = torch.softmax(logits, dim=-1)
+        out = torch.topk(p, k=K, dim=-1)
+        return torch.log(out.values), out.indices
+
+    import numpy as np
+
+    def decode_one():
+        # reference d_pv2smiles_batched.py:29-49 (no early stop: fixed steps)
+        product_input = torch.tensor([[2]])
+        values, indices = gen(product_input)
+        product_input = torch.cat(
+            [torch.full((K, 1), 2), indices.squeeze(0).unsqueeze(-1)], dim=-1)
+        current_p = values.squeeze(0)
+        for _ in range(MAX_STEPS):
+            values, indices = gen(product_input)
+            k2_p = current_p[:, None] + values
+            product_input_k2 = torch.cat(
+                [product_input.unsqueeze(1).repeat(1, K, 1),
+                 indices.unsqueeze(-1)], dim=-1)
+            current_p, i = torch.topk(k2_p.flatten(), K)
+            nxt = np.array(np.unravel_index(i.numpy(), tuple(k2_p.shape))).T
+            product_input = torch.stack(
+                [product_input_k2[a, b] for a, b in nxt], dim=0)
+
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        decode_one()
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    value = bench_spmm_tpu()
+
+    baseline = None
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)["torch_cpu_mol_per_sec"]
+    else:
+        try:
+            baseline = bench_torch_cpu_baseline()
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"torch_cpu_mol_per_sec": baseline,
+                           "max_steps": MAX_STEPS, "k": K}, f)
+        except Exception as e:  # reference/torch unavailable
+            print(f"baseline measurement unavailable: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "pv2smiles_beam_k2_throughput",
+        "value": round(value, 3),
+        "unit": "mol/s",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Multi-label classification fine-tune CLI
+(reference d_classification_multilabel.py).
+
+Datasets: clintox (2 labels) / sider (27 labels); metric: macro AUROC.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from spmm_tpu.configs import FinetuneConfig
+from spmm_tpu.cli._common import seed_everything
+from spmm_tpu.cli._finetune_driver import run_finetune
+from spmm_tpu.data.datasets import load_clintox, load_sider
+
+DATASETS = {
+    "clintox": (load_clintox, ("clintox_train.csv", "clintox_valid.csv",
+                               "clintox_test.csv")),
+    "sider": (load_sider, ("sider_train.csv", "sider_valid.csv",
+                           "sider_test.csv")),
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--name", default="clintox", choices=sorted(DATASETS))
+    p.add_argument("--data_dir", default="data/4_MoleculeNet")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--min_lr", type=float, default=5e-6)
+    p.add_argument("--epoch", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=16)
+    args = p.parse_args(argv)
+
+    seed = seed_everything(args.seed)
+    loader, files = DATASETS[args.name]
+    train, valid, test = (loader(f"{args.data_dir}/{f}") for f in files)
+    print("DATASET:", args.name, len(train), len(valid), len(test))
+
+    fcfg = FinetuneConfig(lr=args.lr, min_lr=args.min_lr, epochs=args.epoch,
+                          batch_size_train=args.batch_size, step_size=50)
+    run_finetune("multilabel", train, valid, test, fcfg, args.checkpoint,
+                 seed, n_output=train.n_output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""SPMM pretraining CLI (reference SPMM_pretrain.py).
+
+Data-parallel over every visible device via a 1-D 'dp' mesh (the TPU-native
+equivalent of the reference's 8-GPU DDP); Orbax checkpoint every
+``--save_every`` steps (reference ModelCheckpoint every_n_train_steps=10000);
+resume via --resume pointing at an Orbax state dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.configs import PretrainConfig
+from spmm_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+from spmm_tpu.cli._common import make_tokenizer, seed_everything
+from spmm_tpu.data.datasets import PretrainDataset
+from spmm_tpu.data.pipeline import batch_pretrain, prefetch
+from spmm_tpu.parallel.mesh import data_parallel_mesh
+from spmm_tpu.training.pretrain import init_pretrain_state, make_pretrain_step
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--property_cache", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--output_dir", default="./Pretrain")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch_size", type=int, default=96,
+                   help="per-device batch (reference: 96 x 8 devices)")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--queue_size", type=int, default=36864)
+    p.add_argument("--save_every", type=int, default=10000)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    seed = seed_everything(args.seed)
+    tok = make_tokenizer()
+    mesh = data_parallel_mesh()
+    n_dev = mesh.devices.size
+    global_bs = args.batch_size * n_dev
+    assert args.queue_size % global_bs == 0, (
+        "queue_size must divide by global batch")
+
+    ds = PretrainDataset(args.data_path, property_cache=args.property_cache)
+    steps_per_epoch = len(ds) // global_bs
+    print(f"#data: {len(ds)}  devices: {n_dev}  global batch: {global_bs}  "
+          f"steps/epoch: {steps_per_epoch}")
+
+    pcfg = PretrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                          queue_size=args.queue_size)
+    state = init_pretrain_state(jax.random.PRNGKey(seed), pcfg)
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print("resumed at step", int(state["step"]))
+
+    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    losses = []
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        batches = prefetch(batch_pretrain(
+            tok, ds, global_bs, shuffle=True, seed=seed + epoch), depth=4)
+        for b in batches:
+            state, metrics = step_fn(
+                state, {k: jnp.asarray(v) for k, v in b.items()},
+                jax.random.fold_in(rng, int(state["step"])))
+            step = int(state["step"])
+            losses.append([float(metrics[k]) for k in
+                           ("loss_mlm", "loss_mpm", "loss_ita", "loss_itm")])
+            if step % 50 == 0:
+                m = np.mean(losses[-50:], axis=0)
+                dt = time.time() - t0
+                print(f"step {step} lr {float(metrics['lr']):.2e} "
+                      f"mlm {m[0]:.4f} mpm {m[1]:.4f} ita {m[2]:.4f} "
+                      f"itm {m[3]:.4f} ({global_bs * 50 / dt:.1f} samples/s)")
+                t0 = time.time()
+            if step % args.save_every == 0:
+                save_checkpoint(f"{args.output_dir}/step_{step}", state)
+            if args.max_steps and step >= args.max_steps:
+                save_checkpoint(f"{args.output_dir}/step_{step}", state)
+                return
+        m = np.mean(losses[-1000:], axis=0)
+        print(f"\n mean loss: {m[0]:.4f}, {m[1]:.4f}, {m[2]:.4f}, {m[3]:.4f}")
+        losses.clear()
+    save_checkpoint(f"{args.output_dir}/final", state)
+
+
+if __name__ == "__main__":
+    main()

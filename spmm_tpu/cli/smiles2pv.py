@@ -1,0 +1,95 @@
+"""SMILES -> property-vector generation CLI (reference d_smiles2pv.py).
+
+Decodes the 53 properties for each input molecule and reports the reference's
+metrics: per-property denormalized RMSE, mean normalized RMSE, and mean r^2
+(reference d_smiles2pv.py:80-107).  Reference PVs for the metric come from
+RDKit featurization (gated) or a precomputed .npz property cache.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.checkpoint.io import load_spmm_params
+from spmm_tpu.chem.featurizer import HAS_RDKIT, canonicalize
+from spmm_tpu.cli._common import load_stats, make_tokenizer, seed_everything
+from spmm_tpu.data.datasets import PretrainDataset
+from spmm_tpu.inference.smiles2pv import predict_pv
+from spmm_tpu.tokenizer import default_buckets
+
+
+def pv_generate(params, tok, smiles_list, stats, batch_size=64):
+    """Library-style API accepting a list of SMILES strings
+    (reference d_smiles2pv.py:39-57); returns denormalized PVs [N, 53]."""
+    out = []
+    for start in range(0, len(smiles_list), batch_size):
+        chunk = smiles_list[start: start + batch_size]
+        texts = [s if s.startswith("[CLS]") else "[CLS]" + s for s in chunk]
+        ids, mask = tok.encode_batch(texts, max_len=100,
+                                     buckets=default_buckets(100))
+        preds = np.asarray(predict_pv(params, jnp.asarray(ids),
+                                      jnp.asarray(mask)))
+        out.append(stats.denormalize(preds))
+    return np.concatenate(out)
+
+
+def metric_eval(ref_norm: np.ndarray, cand_norm: np.ndarray, stats):
+    """Reference metric_eval (d_smiles2pv.py:80-107)."""
+    from sklearn.metrics import r2_score
+
+    r = stats.denormalize(ref_norm)
+    c = stats.denormalize(cand_norm)
+    rmse = np.sqrt(np.mean((r - c) ** 2, axis=0))
+    n_rmse = np.sqrt(np.mean((ref_norm - cand_norm) ** 2, axis=0))
+    print("mean of 53 properties' normalized RMSE:", float(n_rmse.mean()))
+    r2 = np.array([r2_score(r[:, i], c[:, i]) for i in range(r.shape[1])])
+    print("mean r^2 coefficient of determination:", float(r2.mean()))
+    return float(n_rmse.mean()), float(r2.mean())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input_file", required=True)
+    p.add_argument("--property_cache", default=None,
+                   help=".npz with raw PVs aligned to input lines "
+                        "(required for metrics when RDKit is absent)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--output_file", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    seed_everything(args.seed)
+    tok = make_tokenizer()
+    stats = load_stats()
+    params = load_spmm_params(args.checkpoint, with_pretrain_heads=False)
+
+    print("SMILES-to-PV generation...")
+    if args.property_cache or HAS_RDKIT:
+        ds = PretrainDataset(args.input_file,
+                             property_cache=args.property_cache)
+        refs, texts = [], []
+        for i in range(len(ds)):
+            pv, text = ds[i]
+            refs.append(pv)
+            texts.append(text)
+        cand_denorm = pv_generate(params, tok, texts, stats, args.batch_size)
+        metric_eval(np.stack(refs), stats.normalize(cand_denorm), stats)
+    else:
+        with open(args.input_file) as f:
+            smiles = [l.strip() for l in f if l.strip()]
+        smiles = [canonicalize(s) or s for s in smiles]
+        cand_denorm = pv_generate(params, tok, smiles, stats, args.batch_size)
+        print("RDKit unavailable and no property cache: skipping metrics")
+
+    if args.output_file:
+        np.savetxt(args.output_file, cand_denorm, fmt="%.6f")
+        print("predictions saved to", args.output_file)
+    print("SMILES-to-PV generation done")
+
+
+if __name__ == "__main__":
+    main()
