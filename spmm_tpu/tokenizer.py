@@ -179,3 +179,80 @@ def default_buckets(max_len: int = 100) -> tuple[int, ...]:
     """Static pad buckets: powers-of-two-ish steps up to max_len."""
     b = [16, 24, 32, 48, 64, 80, max_len]
     return tuple(x for x in b if x <= max_len) or (max_len,)
+
+
+# --------------------------------------------------------------------------- #
+# native (C++) fast path — see native/wordpiece.cpp
+# --------------------------------------------------------------------------- #
+
+_NATIVE_LIB = os.path.join(os.path.dirname(__file__), "..", "native",
+                           "libspmm_host.so")
+
+
+class NativeWordpiece:
+    """ctypes binding over native/libspmm_host.so (build: make -C native).
+
+    Same semantics as SmilesTokenizer.encode/encode_batch; used by the data
+    pipeline for high-throughput pretraining ingestion.
+    """
+
+    def __init__(self, vocab: dict[str, int] | None = None,
+                 lib_path: str | None = None,
+                 max_input_chars_per_word: int = 250):
+        import ctypes
+
+        self._ct = ctypes
+        path = lib_path or _NATIVE_LIB
+        self._lib = ctypes.CDLL(path)
+        self._lib.wp_create.restype = ctypes.c_void_p
+        self._lib.wp_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32]
+        self._lib.wp_free.argtypes = [ctypes.c_void_p]
+        self._lib.wp_encode.restype = ctypes.c_int32
+        self._lib.wp_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        self._lib.wp_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+
+        vocab = vocab if vocab is not None else load_vocab()
+        tokens = sorted(vocab, key=vocab.get)
+        arr = (ctypes.c_char_p * len(tokens))(
+            *[t.encode("utf-8") for t in tokens])
+        self._handle = self._lib.wp_create(arr, len(tokens),
+                                           max_input_chars_per_word)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.wp_free(self._handle)
+            self._handle = None
+
+    def encode(self, text: str, max_len: int | None = None,
+               truncation: bool = False) -> list[int]:
+        cap = 4096
+        out = (self._ct.c_int32 * cap)()
+        n = self._lib.wp_encode(
+            self._handle, text.encode("utf-8"),
+            1 if (truncation and max_len) else 0, max_len or 0, out, cap)
+        if n < 0:
+            raise ValueError("sequence too long for native encode buffer")
+        return list(out[:n])
+
+    def encode_batch_padded(self, texts: Sequence[str], max_len: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """[n, max_len] ids (0-padded, truncated) + lengths."""
+        n = len(texts)
+        arr = (self._ct.c_char_p * n)(*[t.encode("utf-8") for t in texts])
+        ids = np.zeros((n, max_len), np.int32)
+        lens = np.zeros((n,), np.int32)
+        self._lib.wp_encode_batch(
+            self._handle, arr, n, 1, max_len,
+            ids.ctypes.data_as(self._ct.POINTER(self._ct.c_int32)),
+            lens.ctypes.data_as(self._ct.POINTER(self._ct.c_int32)))
+        return ids, lens
+
+
+def native_available() -> bool:
+    return os.path.exists(_NATIVE_LIB)
