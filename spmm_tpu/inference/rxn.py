@@ -24,7 +24,8 @@ from spmm_tpu.tokenizer import SmilesTokenizer
 Params = dict[str, Any]
 
 
-@partial(jax.jit, static_argnames=("decoder_cfg", "encoder_cfg", "max_steps"))
+@partial(jax.jit, static_argnames=("decoder_cfg", "encoder_cfg", "max_steps",
+                                   "bf16"))
 def _greedy_batch(
     params: Params,
     src_ids: jnp.ndarray,
@@ -32,15 +33,23 @@ def _greedy_batch(
     decoder_cfg: Optional[BertArchConfig] = None,
     encoder_cfg: Optional[BertArchConfig] = None,
     max_steps: int = 100,
+    bf16: bool = True,
 ):
     decoder_cfg = decoder_cfg or text_config()
     encoder_cfg = encoder_cfg or smiles_config()
     enc = encode_reactants(params, encoder_cfg, src_ids, src_mask)
-    return greedy_decode(params["decoder"], decoder_cfg, enc, src_mask,
-                         max_steps=max_steps)
+    dec = params["decoder"]
+    cache_dtype = jnp.float32
+    if bf16:
+        dec = jax.tree.map(lambda x: x.astype(jnp.bfloat16), dec)
+        enc = enc.astype(jnp.bfloat16)
+        cache_dtype = jnp.bfloat16
+    return greedy_decode(dec, decoder_cfg, enc, src_mask,
+                         max_steps=max_steps, cache_dtype=cache_dtype)
 
 
-@partial(jax.jit, static_argnames=("spec", "decoder_cfg", "encoder_cfg"))
+@partial(jax.jit, static_argnames=("spec", "decoder_cfg", "encoder_cfg",
+                                   "bf16"))
 def _beam_batch(
     params: Params,
     src_ids: jnp.ndarray,
@@ -49,13 +58,21 @@ def _beam_batch(
     spec: BeamSpec,
     decoder_cfg: Optional[BertArchConfig] = None,
     encoder_cfg: Optional[BertArchConfig] = None,
+    bf16: bool = True,
 ):
     decoder_cfg = decoder_cfg or text_config()
     encoder_cfg = encoder_cfg or smiles_config()
     enc = encode_reactants(params, encoder_cfg, src_ids, src_mask)
+    dec = params["decoder"]
+    cache_dtype = jnp.float32
+    if bf16:
+        dec = jax.tree.map(lambda x: x.astype(jnp.bfloat16), dec)
+        enc = enc.astype(jnp.bfloat16)
+        cache_dtype = jnp.bfloat16
 
     def one(e, m, r):
-        return beam_search(params["decoder"], decoder_cfg, e, m, spec, r)
+        return beam_search(dec, decoder_cfg, e, m, spec, r,
+                           cache_dtype=cache_dtype)
 
     return jax.vmap(one)(enc, src_mask, rngs)
 
