@@ -123,6 +123,7 @@ class PretrainConfig:
     epochs: int = 30
     warmup_epochs: int = 20       # interpreted as warmup *chunks* of 100 steps
     grad_clip: float = 5.0
+    bf16_compute: bool = False    # bf16 encoder compute (reference: fp16 AMP)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -214,18 +214,37 @@ def encoder_forward(
     cfg: BertArchConfig,
     hidden: jnp.ndarray,
     additive_self_mask: Optional[jnp.ndarray],
-    encoder_hidden: Optional[jnp.ndarray] = None,
-    additive_cross_mask: Optional[jnp.ndarray] = None,
+    encoder_hidden=None,
+    additive_cross_mask=None,
     mode: str = "multi_modal",
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Run the layer stack section selected by ``mode`` (reference xbert.py:537-618)."""
+    """Run the layer stack section selected by ``mode`` (reference xbert.py:537-618).
+
+    ``encoder_hidden``/``additive_cross_mask`` may be lists for multi-source
+    cross-attention, assigned round-robin over fusion layers (reference
+    xbert.py:497-507 — present-but-unused there; supported here for parity).
+    ``remat=True`` rematerializes each layer in the backward pass
+    (reference gradient-checkpointing branch, xbert.py:583-605; here a real
+    jax.checkpoint instead of unused plumbing).
+    """
+    fwd = layer_forward
+    if remat:
+        # cfg (1) and deterministic (6) are static python values
+        fwd = jax.checkpoint(layer_forward,
+                             static_argnums=(1, 6), prevent_cse=False)
     for i in _layer_range(cfg, mode):
         layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
-        hidden = layer_forward(
+        if isinstance(encoder_hidden, (list, tuple)):
+            j = (i - cfg.fusion_layer) % len(encoder_hidden)
+            enc, xmask = encoder_hidden[j], additive_cross_mask[j]
+        else:
+            enc, xmask = encoder_hidden, additive_cross_mask
+        hidden = fwd(
             params["layers"][i], cfg, hidden, additive_self_mask,
-            encoder_hidden, additive_cross_mask, deterministic, layer_rng,
+            enc, xmask, deterministic, layer_rng,
         )
     return hidden
 
@@ -248,13 +267,15 @@ def bert_forward(
     mode: str = "multi_modal",
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """BertModel.forward equivalent (reference xbert.py:950-1091).
 
     Exactly one of ``input_ids`` / ``inputs_embeds`` / ``encoder_embeds`` must
     be given; ``encoder_embeds`` bypasses the embedding layer (used by fusion
     passes over already-encoded hidden states, reference SPMM_models.py:137).
-    Returns the last hidden state [B, L, H].
+    ``encoder_hidden_states`` may be a list for round-robin multi-source
+    cross-attention.  Returns the last hidden state [B, L, H].
     """
     if encoder_embeds is not None:
         hidden = encoder_embeds
@@ -279,15 +300,25 @@ def bert_forward(
 
     cross_mask = None
     if encoder_hidden_states is not None:
-        if encoder_attention_mask is None:
-            encoder_attention_mask = jnp.ones(
-                encoder_hidden_states.shape[:2], dtype=jnp.int32
-            )
-        cross_mask = invert_encoder_mask(encoder_attention_mask, dtype=jnp.float32)
+        if isinstance(encoder_hidden_states, (list, tuple)):
+            if encoder_attention_mask is None:
+                encoder_attention_mask = [
+                    jnp.ones(e.shape[:2], jnp.int32)
+                    for e in encoder_hidden_states]
+            cross_mask = [invert_encoder_mask(m, dtype=jnp.float32)
+                          for m in encoder_attention_mask]
+        else:
+            if encoder_attention_mask is None:
+                encoder_attention_mask = jnp.ones(
+                    encoder_hidden_states.shape[:2], dtype=jnp.int32
+                )
+            cross_mask = invert_encoder_mask(encoder_attention_mask,
+                                             dtype=jnp.float32)
 
     return encoder_forward(
         params, cfg, hidden, self_mask,
         encoder_hidden_states, cross_mask, mode, deterministic, rng,
+        remat=remat,
     )
 
 

@@ -124,6 +124,23 @@ def pretrain_loss(
     bs = prop_orig.shape[0]
     rngs = jax.random.split(rng, 13)
 
+    if pcfg.bf16_compute:
+        # bf16 encoder weights (LN/softmax stay fp32 inside the blocks;
+        # losses, projections and heads stay fp32) — the TPU analogue of the
+        # reference's fp16 AMP (SPMM_pretrain.py:35).  Grads flow back to the
+        # fp32 master params through the cast.
+        def _cast(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, t)
+
+        params = {**params,
+                  "text_encoder": _cast(params["text_encoder"]),
+                  "property_encoder": _cast(params["property_encoder"])}
+        ema = {**ema,
+               "text_encoder": _cast(ema["text_encoder"]),
+               "property_encoder": _cast(ema["property_encoder"])}
+
     # temperature: clamp(0.01, 0.5) with straight-through gradient
     # (reference clamps .data in-place pre-forward, SPMM_models.py:80-81)
     temp_raw = params["temp"]
