@@ -38,12 +38,21 @@ def evaluate_scores(params, cfg, tok, dataset, task, batch_size=64):
     return np.concatenate(preds), np.concatenate(targets)
 
 
-def eval_metric(params, cfg, tok, dataset, task):
-    from sklearn.metrics import roc_auc_score
+def eval_metric(params, cfg, tok, dataset, task, extended: bool = False):
+    """``extended`` also prints Acc/SP/SE for binary tasks — the DILI metrics
+    whose gate in the reference can never fire (d_classification.py:99-101,
+    isinstance check against the wrong type)."""
+    from sklearn.metrics import accuracy_score, recall_score, roc_auc_score
 
     preds, targets = evaluate_scores(params, cfg, tok, dataset, task)
     if task == "classification":
         scores = np.exp(preds[:, 1]) / np.exp(preds).sum(axis=1)
+        if extended:
+            hard = (scores > 0.5).astype(np.int32)
+            print(f"Acc: {accuracy_score(targets, hard):.4f}, "
+                  f"SP: {recall_score(targets, hard, pos_label=0):.4f}, "
+                  f"SE: {recall_score(targets, hard):.4f}, "
+                  f"AUROC: {roc_auc_score(targets, scores):.4f}")
         return float(roc_auc_score(targets, scores))
     if task == "multilabel":
         scores = 1.0 / (1.0 + np.exp(-preds))
@@ -65,6 +74,7 @@ def run_finetune(
     checkpoint: Optional[str],
     seed: int,
     n_output: int = 2,
+    extended_metrics: bool = False,
 ):
     cfg = text_config()
     tok = SmilesTokenizer()
@@ -113,7 +123,8 @@ def run_finetune(
                 jax.random.fold_in(jax.random.PRNGKey(seed), global_step))
             global_step += 1
         val = eval_metric(params, cfg, tok, valid_ds, task)
-        tst = eval_metric(params, cfg, tok, test_ds, task)
+        tst = eval_metric(params, cfg, tok, test_ds, task,
+                          extended=extended_metrics)
         print(f"VALID: {val:.4f}  TEST: {tst:.4f}")
         if (higher_better and val >= best_valid) or \
            (not higher_better and val < best_valid):

@@ -40,7 +40,8 @@ def main(argv=None):
     fcfg = FinetuneConfig(lr=args.lr, min_lr=args.min_lr, epochs=args.epoch,
                           batch_size_train=args.batch_size, step_size=50)
     run_finetune("classification", train, valid, test, fcfg,
-                 args.checkpoint, seed)
+                 args.checkpoint, seed,
+                 extended_metrics=(args.name == "lidi"))
 
 
 if __name__ == "__main__":

@@ -23,7 +23,18 @@ from spmm_tpu.data.datasets import PretrainDataset
 from spmm_tpu.inference.pv2smiles import generate_batched
 
 
-def metric_eval(refs, cands, stats, out_file):
+def novelty(valids, corpus_path):
+    """Fraction of unique valid molecules absent from a corpus (the
+    reference's commented-out novelty block, d_pv2smiles_batched.py:94-103)."""
+    with open(corpus_path) as f:
+        corpus = {l.strip() for l in f}
+    uniq = {canonicalize(s) or s for s in valids}
+    if not uniq:
+        return 0.0
+    return sum(1 for s in uniq if s not in corpus) / len(uniq)
+
+
+def metric_eval(refs, cands, stats, out_file, novelty_corpus=None):
     """Reference metric_eval (d_pv2smiles_batched.py:62-107)."""
     valids, n_mse = [], []
     for ref, cand in zip(refs, cands):
@@ -47,6 +58,8 @@ def metric_eval(refs, cands, stats, out_file):
     print("validity:", v / max(len(cands), 1))
     canon = [canonicalize(s) or s for s in valids]
     print("uniqueness:", len(set(canon)) / max(v, 1))
+    if novelty_corpus:
+        print("novelty:", novelty(valids, novelty_corpus))
     with open(out_file, "w") as w:
         for s in valids:
             w.write(s + "\n")
@@ -63,6 +76,8 @@ def main(argv=None):
     p.add_argument("--data_range", type=int, nargs=2, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--output_file", default="generated_molecules.txt")
+    p.add_argument("--novelty_corpus", default=None,
+                   help="corpus file to compute novelty against")
     args = p.parse_args(argv)
 
     seed = seed_everything(args.seed)
@@ -84,7 +99,8 @@ def main(argv=None):
           f"with k={args.k}...")
     cands = generate_batched(params, tok, np.stack(pvs), k=args.k,
                              stochastic=args.stochastic, seed=seed)
-    metric_eval(sources, cands, stats, args.output_file)
+    metric_eval(sources, cands, stats, args.output_file,
+                novelty_corpus=args.novelty_corpus)
 
 
 if __name__ == "__main__":

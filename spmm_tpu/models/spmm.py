@@ -160,6 +160,7 @@ def encode_properties(
     is_decoder: bool = False,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """6-layer property encoder over injected embeddings
     (reference SPMM_models.py:90; causal variant for MPM :242)."""
@@ -171,6 +172,7 @@ def encode_properties(
         mode="multi_modal",
         deterministic=deterministic,
         rng=rng,
+        remat=remat,
     )
 
 
@@ -181,6 +183,7 @@ def encode_text(
     attention_mask: jnp.ndarray,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Unimodal SMILES encoding: layers [0, fusion) (reference SPMM_models.py:94)."""
     return jbert.bert_forward(
@@ -190,4 +193,5 @@ def encode_text(
         mode="text",
         deterministic=deterministic,
         rng=rng,
+        remat=remat,
     )

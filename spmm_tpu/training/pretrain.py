@@ -153,13 +153,16 @@ def pretrain_loss(
     properties = spmm.embed_properties(params, prop_orig, mpm_mask)  # [B,54,H]
 
     # ---- unimodal encoders ----
+    remat = pcfg.remat
     prop_embeds = spmm.encode_properties(
-        params, prop_cfg, properties, deterministic=deterministic, rng=rngs[1])
+        params, prop_cfg, properties, deterministic=deterministic,
+        rng=rngs[1], remat=remat)
     prop_atts = jnp.ones(prop_embeds.shape[:2], jnp.int32)
     prop_feat = _normalize(jbert.dense(params["property_proj"],
                                        prop_embeds[:, 0]))
     text_embeds = spmm.encode_text(
-        params, text_cfg, ids, mask, deterministic=deterministic, rng=rngs[2])
+        params, text_cfg, ids, mask, deterministic=deterministic,
+        rng=rngs[2], remat=remat)
     text_feat = _normalize(jbert.dense(params["text_proj"], text_embeds[:, 0]))
 
     # ---- momentum features (no grad; EMA already updated by the caller) ----
@@ -229,7 +232,7 @@ def pretrain_loss(
         encoder_embeds=prop_q,
         attention_mask=jnp.tile(prop_atts, (3, 1)),
         encoder_hidden_states=text_k, encoder_attention_mask=text_k_mask,
-        mode="fusion", deterministic=deterministic, rng=rngs[7],
+        mode="fusion", deterministic=deterministic, rng=rngs[7], remat=remat,
     )[:, 0]
     text_q = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
     text_q_mask = jnp.concatenate([mask, mask, text_atts_neg])
@@ -239,7 +242,7 @@ def pretrain_loss(
         encoder_embeds=text_q, attention_mask=text_q_mask,
         encoder_hidden_states=prop_k,
         encoder_attention_mask=jnp.tile(prop_atts, (3, 1)),
-        mode="fusion", deterministic=deterministic, rng=rngs[8],
+        mode="fusion", deterministic=deterministic, rng=rngs[8], remat=remat,
     )[:, 0]
     vl = jnp.concatenate([prop_side, text_side], axis=-1)      # [3B, 1536]
     itm_logits = jbert.dense(params["itm_head"], vl)
@@ -259,6 +262,7 @@ def pretrain_loss(
         params["text_encoder"], text_cfg, input_ids=ids, attention_mask=mask,
         encoder_hidden_states=prop_embeds, encoder_attention_mask=prop_atts,
         is_decoder=True, deterministic=deterministic, rng=rngs[10],
+        remat=remat,
     )[:, :-1, :]
     labels = ids[:, 1:]
     logp = jax.nn.log_softmax(mlm_logits, axis=-1)
@@ -272,13 +276,13 @@ def pretrain_loss(
     # ---- MPM (causal property regression over text) ----
     prop_embeds_causal = spmm.encode_properties(
         params, prop_cfg, properties, is_decoder=True,
-        deterministic=deterministic, rng=rngs[11])
+        deterministic=deterministic, rng=rngs[11], remat=remat)
     prop_out = jbert.bert_forward(
         params["text_encoder"]["bert"], text_cfg,
         encoder_embeds=prop_embeds_causal, attention_mask=prop_atts,
         encoder_hidden_states=text_embeds, encoder_attention_mask=mask,
         is_decoder=True, mode="fusion", deterministic=deterministic,
-        rng=rngs[12],
+        rng=rngs[12], remat=remat,
     )[:, :-1, :]
     pred = spmm.mtr_head_forward(params["property_mtr_head"], text_cfg, prop_out)
     keep_p = 1.0 - mpm_mask

@@ -80,3 +80,47 @@ def test_cross_attention_maps(params):
         np.testing.assert_allclose(np.asarray(m.sum(-1)), 1.0, atol=1e-5)
         # masked encoder keys get ~zero attention
         assert float(m[1, :, :, 3:].max()) < 1e-4
+
+
+def test_cross_attention_maps_vs_reference():
+    """Cross-attention probabilities match the reference's output_attentions
+    (what its save_attention hooks record; xbert.py:337-339)."""
+    from conftest import has_reference, has_torch
+    if not (has_reference() and has_torch()):
+        pytest.skip("reference + torch required")
+    import torch
+    from reference_shim import import_reference_xbert
+    from spmm_tpu.checkpoint.convert import convert_bert_mlm
+
+    ref = import_reference_xbert()
+    tcfg = ref.BertConfig(
+        vocab_size=300, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2, fusion_layer=2,
+        encoder_width=32, add_cross_attention=True, hidden_act="gelu",
+        layer_norm_eps=1e-12, pad_token_id=0, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1, autoregressive=0)
+    torch.manual_seed(0)
+    model = ref.BertForMaskedLM(config=tcfg).eval()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_bert_mlm(state, CFG)
+
+    g = torch.Generator().manual_seed(1)
+    embeds = torch.randn(2, 6, 32, generator=g)
+    enc = torch.randn(2, 5, 32, generator=g)
+    enc_mask = torch.ones(2, 5, dtype=torch.long)
+    enc_mask[1, 3:] = 0
+    with torch.no_grad():
+        out = model.bert(
+            encoder_embeds=embeds, attention_mask=torch.ones(2, 6).long(),
+            encoder_hidden_states=enc, encoder_attention_mask=enc_mask,
+            return_dict=True, mode="fusion", output_attentions=True)
+    want = [a.numpy() for a in out.cross_attentions]
+
+    maps = cross_attention_maps(
+        params["bert"], CFG, jnp.asarray(embeds.numpy()),
+        jnp.ones((2, 6), jnp.int32), jnp.asarray(enc.numpy()),
+        jnp.asarray(enc_mask.numpy()))
+    assert len(maps) == len(want)
+    for got, w in zip(maps, want):
+        np.testing.assert_allclose(np.asarray(got), w, atol=1e-5)

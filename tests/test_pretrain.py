@@ -116,3 +116,24 @@ def test_nan_skip(state):
         np.asarray(state["params"]["text_proj"]["w"]))
     assert int(new_state["queue"]["ptr"]) == int(state["queue"]["ptr"])
     assert int(new_state["step"]) == int(state["step"]) + 1
+
+
+def test_bf16_remat_loss(state):
+    """bf16_compute + remat variants produce finite losses close to fp32."""
+    import dataclasses
+
+    batch = make_batch(7, global_bs=4)
+    base, _ = pretrain_loss(
+        state["params"], state["ema"], state["queue"], batch,
+        jax.random.PRNGKey(9), jnp.float32(0.4), TEXT_CFG, PROP_CFG, PCFG,
+        deterministic=True)
+    for kwargs in ({"bf16_compute": True}, {"remat": True},
+                   {"bf16_compute": True, "remat": True}):
+        pcfg2 = dataclasses.replace(PCFG, **kwargs)
+        loss, _ = pretrain_loss(
+            state["params"], state["ema"], state["queue"], batch,
+            jax.random.PRNGKey(9), jnp.float32(0.4), TEXT_CFG, PROP_CFG,
+            pcfg2, deterministic=True)
+        assert np.isfinite(float(loss))
+        tol = 0.2 if kwargs.get("bf16_compute") else 1e-4
+        assert abs(float(loss) - float(base)) < tol, kwargs
