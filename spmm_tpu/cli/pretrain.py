@@ -20,7 +20,7 @@ from spmm_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
 from spmm_tpu.cli._common import make_tokenizer, seed_everything
 from spmm_tpu.data.datasets import PretrainDataset
 from spmm_tpu.data.pipeline import batch_pretrain, prefetch
-from spmm_tpu.parallel.mesh import data_parallel_mesh
+from spmm_tpu.parallel.mesh import data_parallel_mesh, replicated
 from spmm_tpu.training.pretrain import init_pretrain_state, make_pretrain_step
 
 
@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--queue_size", type=int, default=36864)
     p.add_argument("--save_every", type=int, default=10000)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 encoder compute (reference: fp16 AMP)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize layers (fits batch 96/chip on v5e-16G)")
     args = p.parse_args(argv)
 
     seed = seed_everything(args.seed)
@@ -53,13 +57,17 @@ def main(argv=None):
           f"steps/epoch: {steps_per_epoch}")
 
     pcfg = PretrainConfig(batch_size=args.batch_size, epochs=args.epochs,
-                          queue_size=args.queue_size)
+                          queue_size=args.queue_size,
+                          bf16_compute=args.bf16, remat=args.remat)
     state = init_pretrain_state(jax.random.PRNGKey(seed), pcfg)
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print("resumed at step", int(state["step"]))
 
-    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch)
+    # replicate the state over the mesh up front: a single-device-committed
+    # state would recompile the step on its second call (sharding change)
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch, donate=True)
     rng = jax.random.PRNGKey(seed + 1)
 
     losses = []

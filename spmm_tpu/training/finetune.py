@@ -33,7 +33,11 @@ def make_finetune_optimizer(fcfg: FinetuneConfig):
         return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
                            weight_decay=fcfg.weight_decay)
 
-    return optax.inject_hyperparams(opt)(learning_rate=0.0)
+    # concrete f32 initial value: keeps the opt-state pytree identical
+    # across steps (a python-float init recompiles the step once the
+    # schedule writes a non-weak array into hyperparams)
+    return optax.inject_hyperparams(opt)(
+        learning_rate=jnp.asarray(0.0, jnp.float32))
 
 
 def make_downstream_step(

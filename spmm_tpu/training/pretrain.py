@@ -66,7 +66,11 @@ def make_optimizer(pcfg: PretrainConfig):
                         weight_decay=pcfg.weight_decay),
         )
 
-    return optax.inject_hyperparams(opt)(learning_rate=0.0)
+    # concrete f32 initial value: keeps the opt-state pytree identical
+    # across steps (a python-float init recompiles the step once the
+    # schedule writes a non-weak array into hyperparams)
+    return optax.inject_hyperparams(opt)(
+        learning_rate=jnp.asarray(0.0, jnp.float32))
 
 
 def init_pretrain_state(
@@ -318,11 +322,16 @@ def make_pretrain_step(
     steps_per_epoch: int,
     text_cfg: Optional[BertArchConfig] = None,
     prop_cfg: Optional[BertArchConfig] = None,
+    donate: bool = False,
 ):
     """Builds the jitted data-parallel train step.
 
     batch arrays are GLOBAL (sharded on axis 0 over 'dp'); the queue size must
     divide by the global batch (reference assert, SPMM_models.py:279).
+
+    ``donate=True`` donates the state buffers (params/EMA/opt_state/queue are
+    updated in place, saving ~2GB HBM for the full-size model) — the caller
+    must not touch the old state afterwards (training loops; not tests).
     """
     text_cfg = text_cfg or text_config()
     prop_cfg = prop_cfg or property_config()
@@ -354,7 +363,7 @@ def make_pretrain_step(
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, batch, rng):
         # queue wraparound never happens when this divides (reference assert,
         # SPMM_models.py:279); dynamic_update_slice would clamp otherwise

@@ -137,3 +137,19 @@ def test_bf16_remat_loss(state):
         assert np.isfinite(float(loss))
         tol = 0.2 if kwargs.get("bf16_compute") else 1e-4
         assert abs(float(loss) - float(base)) < tol, kwargs
+
+
+def test_no_recompile_across_steps(state):
+    """The step must compile exactly once (lr-leaf weak-type and state
+    sharding are canonicalized); a second compile at full size costs ~7min
+    on the TPU compile helper."""
+    from spmm_tpu.parallel.mesh import replicated
+
+    mesh = data_parallel_mesh(8)
+    st = jax.device_put(state, replicated(mesh))
+    step_fn = make_pretrain_step(mesh, PCFG, steps_per_epoch=10,
+                                 text_cfg=TEXT_CFG, prop_cfg=PROP_CFG)
+    for i in range(3):
+        st, _ = step_fn(st, make_batch(10 + i, global_bs=16),
+                        jax.random.PRNGKey(i))
+    assert step_fn._cache_size() == 1
