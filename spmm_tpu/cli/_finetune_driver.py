@@ -75,8 +75,9 @@ def run_finetune(
     seed: int,
     n_output: int = 2,
     extended_metrics: bool = False,
+    cfg=None,
 ):
-    cfg = text_config()
+    cfg = cfg or text_config()
     tok = SmilesTokenizer()
     params = init_downstream_params(jax.random.PRNGKey(seed), task, cfg,
                                     n_output)
