@@ -2,5 +2,6 @@
 
 Run as ``python -m spmm_tpu.cli.<workload>``:
   pretrain, smiles2pv, pv2smiles_single, pv2smiles_batched,
-  classification, classification_multilabel, regression, rxn_prediction
+  classification, classification_multilabel, regression, rxn_prediction,
+  convert_checkpoint
 """

@@ -1,7 +1,14 @@
 """Convert a reference PyTorch SPMM checkpoint to a native Orbax checkpoint.
 
 Applies the reference's load-time key surgery as explicit converter rules
-(SURVEY §2.4) and validates the tree structurally before saving.
+(SURVEY §2.4) before saving.  Two output modes:
+
+  params (default) — inference/fine-tune params tree; loadable by every CLI
+      via spmm_tpu.checkpoint.io.load_spmm_params.
+  --as_pretrain_state — a RESUMABLE pretrain state (params + EMA from the
+      momentum twins + queues/ptr from the checkpoint buffers + fresh
+      optimizer state), loadable by ``python -m spmm_tpu.cli.pretrain
+      --resume <out>``.
 
     python -m spmm_tpu.cli.convert_checkpoint \
         --torch_ckpt checkpoint_SPMM.ckpt --out ./ckpt_spmm
@@ -12,32 +19,37 @@ from __future__ import annotations
 import argparse
 
 import jax
-import jax.numpy as jnp
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--with_momentum", action="store_true",
-                   help="also convert the momentum twins (pretrain resume)")
+    p.add_argument("--as_pretrain_state", action="store_true",
+                   help="emit a resumable pretrain state (EMA + queues + "
+                        "fresh optimizer) instead of a bare params tree")
     p.add_argument("--no_pretrain_heads", action="store_true",
                    help="drop proj/itm heads (inference-only checkpoint)")
+    p.add_argument("--queue_size", type=int, default=36864)
     args = p.parse_args(argv)
 
-    from spmm_tpu.checkpoint.convert import load_torch_state_dict
-    from spmm_tpu.checkpoint.io import save_checkpoint
-    from spmm_tpu.models.spmm import convert_spmm_checkpoint
+    from spmm_tpu.checkpoint.io import load_spmm_params, save_checkpoint
 
-    state = load_torch_state_dict(args.torch_ckpt)
-    params = convert_spmm_checkpoint(
-        state,
-        with_pretrain_heads=not args.no_pretrain_heads,
-        with_momentum=args.with_momentum,
-    )
-    params = jax.tree.map(jnp.asarray, params)
-    n = sum(x.size for x in jax.tree.leaves(params))
-    save_checkpoint(args.out, params)
+    if args.as_pretrain_state:
+        from spmm_tpu.checkpoint.convert import load_torch_state_dict
+        from spmm_tpu.configs import PretrainConfig
+        from spmm_tpu.training.pretrain import pretrain_state_from_reference
+
+        state_dict = load_torch_state_dict(args.torch_ckpt)
+        out_tree = pretrain_state_from_reference(
+            state_dict, PretrainConfig(queue_size=args.queue_size))
+    else:
+        out_tree = load_spmm_params(
+            args.torch_ckpt,
+            with_pretrain_heads=not args.no_pretrain_heads)
+
+    n = sum(x.size for x in jax.tree.leaves(out_tree))
+    save_checkpoint(args.out, out_tree)
     print(f"converted {n:,} parameters -> {args.out}")
 
 

@@ -125,6 +125,7 @@ class PretrainConfig:
     grad_clip: float = 5.0
     bf16_compute: bool = False    # bf16 encoder compute (reference: fp16 AMP)
     remat: bool = False           # jax.checkpoint each layer (memory for FLOPs)
+    sequential_losses: bool = True  # barrier the 4 loss subgraphs (see pretrain.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -102,6 +102,54 @@ def init_pretrain_state(
     }
 
 
+def pretrain_state_from_reference(
+    state_dict,
+    pcfg: PretrainConfig,
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
+) -> Params:
+    """Build a RESUMABLE pretrain state from a reference torch checkpoint:
+    params + temp from the checkpoint, EMA from the momentum twins, queues +
+    ptr from the checkpoint buffers (falling back to fresh normalized-random
+    queues when absent), fresh optimizer state, step 0.
+    """
+    import numpy as np
+
+    from spmm_tpu.models.spmm import convert_spmm_checkpoint
+
+    text_cfg = text_cfg or text_config()
+    prop_cfg = prop_cfg or property_config()
+    conv = convert_spmm_checkpoint(state_dict, text_cfg, prop_cfg,
+                                   with_pretrain_heads=True,
+                                   with_momentum=True)
+    ema = conv.pop("momentum")
+    params = jax.tree.map(jnp.asarray, conv)
+    params["temp"] = jnp.asarray(
+        float(np.asarray(state_dict.get("temp", pcfg.temp))), jnp.float32)
+    ema = jax.tree.map(jnp.asarray, ema)
+
+    fresh = init_pretrain_state(jax.random.PRNGKey(0), pcfg,
+                                text_cfg, prop_cfg)
+    queue = fresh["queue"]
+    if "prop_queue" in state_dict:
+        assert state_dict["prop_queue"].shape[1] == pcfg.queue_size, (
+            "checkpoint queue size differs from config")
+        queue = {
+            "prop": jnp.asarray(state_dict["prop_queue"]),
+            "text": jnp.asarray(state_dict["text_queue"]),
+            "ptr": jnp.asarray(
+                int(np.asarray(state_dict["queue_ptr"]).ravel()[0]),
+                jnp.int32),
+        }
+    return {
+        "params": params,
+        "ema": ema,
+        "queue": queue,
+        "opt_state": make_optimizer(pcfg).init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
 # --------------------------------------------------------------------------- #
 # loss
 # --------------------------------------------------------------------------- #
@@ -211,6 +259,23 @@ def pretrain_loss(
                 + ce(sim_i2i, soft_targets(sim_i2i_m))
                 + ce(sim_t2t, soft_targets(sim_t2t_m))) / 2.0
 
+    # The four objectives are independent subgraphs over shared encoder
+    # outputs; XLA's latency-hiding scheduler runs them (and their
+    # backwards) concurrently, stacking ~2GB of temporaries per objective
+    # (>10GB peak at full size).  Sequencing them with optimization
+    # barriers — matching the reference's eager execution order — caps the
+    # peak at one objective's working set.
+    seq = pcfg.sequential_losses
+
+    def _chain(dep, *vals):
+        if not seq:
+            return vals
+        out = jax.lax.optimization_barrier((dep, *vals))
+        return out[1:]
+
+    prop_embeds, text_embeds, sim_i2t, sim_t2i = _chain(
+        loss_ita, prop_embeds, text_embeds, sim_i2t, sim_t2i)
+
     # ---- ITM with in-batch hard negatives ----
     weights_i2t = jax.nn.softmax(sim_i2t[:, :bs], axis=1)
     weights_t2i = jax.nn.softmax(sim_t2i[:, :bs], axis=1)
@@ -256,6 +321,9 @@ def pretrain_loss(
         jax.nn.log_softmax(itm_logits, axis=-1),
         itm_labels[:, None], axis=1)[:, 0].mean()
 
+    prop_embeds, prop_embeds_m, text_embeds = _chain(
+        loss_itm, prop_embeds, prop_embeds_m, text_embeds)
+
     # ---- MLM (causal next-token with PV conditioning + distillation) ----
     logits_m = jax.lax.stop_gradient(jbert.mlm_forward(
         ema["text_encoder"], text_cfg, input_ids=ids, attention_mask=mask,
@@ -276,6 +344,8 @@ def pretrain_loss(
     keep = (labels != 0).astype(jnp.float32)
     loss_distill = jnp.sum(distill * keep) / jnp.maximum(keep.sum(), 1.0)
     loss_mlm = (1 - alpha) * loss_ce + alpha * loss_distill
+
+    properties, text_embeds = _chain(loss_mlm, properties, text_embeds)
 
     # ---- MPM (causal property regression over text) ----
     prop_embeds_causal = spmm.encode_properties(

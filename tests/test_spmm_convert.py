@@ -104,3 +104,39 @@ def test_load_spmm_params_from_torch_ckpt(torch, tmp_path):
     assert len(params["property_encoder"]["layers"]) == 2
     assert "cross_attn" in params["text_encoder"]["bert"]["layers"][2]
     assert "cross_attn" not in params["text_encoder"]["bert"]["layers"][0]
+
+
+def test_pretrain_state_from_reference_is_resumable(torch, tmp_path):
+    """--as_pretrain_state output must match the init_pretrain_state tree
+    structure exactly (Orbax restores against that template on --resume)."""
+    from conftest import has_reference
+
+    if not has_reference():
+        pytest.skip("reference xbert needed")
+    import jax
+    import jax.numpy as jnp
+
+    from spmm_tpu.checkpoint.convert import load_torch_state_dict
+    from spmm_tpu.configs import PretrainConfig
+    from spmm_tpu.training.pretrain import (
+        init_pretrain_state, pretrain_state_from_reference,
+    )
+
+    path = str(tmp_path / "ckpt.ckpt")
+    raw = build_reference_style_ckpt(torch, path)
+    state_dict = load_torch_state_dict(path)
+    pcfg = PretrainConfig(embed_dim=16, queue_size=64)
+    state = pretrain_state_from_reference(state_dict, pcfg, TEXT_CFG, PROP_CFG)
+
+    template = init_pretrain_state(jax.random.PRNGKey(0), pcfg,
+                                   TEXT_CFG, PROP_CFG)
+    assert (jax.tree_util.tree_structure(state)
+            == jax.tree_util.tree_structure(template))
+    # queues restored from checkpoint buffers
+    np.testing.assert_array_equal(np.asarray(state["queue"]["prop"]),
+                                  raw["prop_queue"].numpy())
+    assert float(state["params"]["temp"]) == pytest.approx(0.07)
+    # EMA == momentum twins
+    np.testing.assert_array_equal(
+        np.asarray(state["ema"]["text_proj"]["w"]),
+        raw["text_proj_m.weight"].numpy().T)
