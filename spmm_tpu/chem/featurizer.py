@@ -37,20 +37,20 @@ try:
 except ImportError:
     HAS_RDKIT = False
 
-_DESCRIPTOR_FNS = None
+_DESCRIPTOR_FNS: dict = {}
 
 
 def _descriptor_fns(names: Sequence[str]):
-    global _DESCRIPTOR_FNS
-    if _DESCRIPTOR_FNS is None:
+    key = tuple(names)
+    if key not in _DESCRIPTOR_FNS:
         fns = []
         for n in names:
             if n == "QED":
                 fns.append(lambda m: Chem.QED.qed(m))
             else:
                 fns.append(getattr(Descriptors, n))
-        _DESCRIPTOR_FNS = fns
-    return _DESCRIPTOR_FNS
+        _DESCRIPTOR_FNS[key] = fns
+    return _DESCRIPTOR_FNS[key]
 
 
 def require_rdkit(what: str = "descriptor computation"):

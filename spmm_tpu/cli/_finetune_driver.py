@@ -25,12 +25,16 @@ from spmm_tpu.tokenizer import SmilesTokenizer
 
 
 def evaluate_scores(params, cfg, tok, dataset, task, batch_size=64):
-    """Collect predictions over an eval set (deterministic)."""
+    """Collect predictions over an eval set (deterministic).
+
+    NO truncation at eval — the reference evaluates with padding='longest'
+    and no max_length (d_classification.py:86); position embeddings bound
+    sequences at 512 like the reference."""
     forward = jax.jit(
         lambda p, ids, mask: downstream_forward(p, cfg, ids, mask))
     preds, targets = [], []
     for b in batch_supervised(tok, dataset.texts, dataset.targets,
-                              batch_size, pad_batch=True):
+                              batch_size, truncation=False, pad_batch=True):
         out = np.asarray(forward(params, jnp.asarray(b["ids"]),
                                  jnp.asarray(b["mask"])))[: b["n_real"]]
         preds.append(out)
@@ -38,13 +42,15 @@ def evaluate_scores(params, cfg, tok, dataset, task, batch_size=64):
     return np.concatenate(preds), np.concatenate(targets)
 
 
-def eval_metric(params, cfg, tok, dataset, task, extended: bool = False):
+def eval_metric(params, cfg, tok, dataset, task, extended: bool = False,
+                batch_size: int = 64):
     """``extended`` also prints Acc/SP/SE for binary tasks — the DILI metrics
     whose gate in the reference can never fire (d_classification.py:99-101,
     isinstance check against the wrong type)."""
     from sklearn.metrics import accuracy_score, recall_score, roc_auc_score
 
-    preds, targets = evaluate_scores(params, cfg, tok, dataset, task)
+    preds, targets = evaluate_scores(params, cfg, tok, dataset, task,
+                                     batch_size=batch_size)
     if task == "classification":
         scores = np.exp(preds[:, 1]) / np.exp(preds).sum(axis=1)
         if extended:
@@ -123,9 +129,11 @@ def run_finetune(
                  "target": tgt},
                 jax.random.fold_in(jax.random.PRNGKey(seed), global_step))
             global_step += 1
-        val = eval_metric(params, cfg, tok, valid_ds, task)
+        val = eval_metric(params, cfg, tok, valid_ds, task,
+                          batch_size=fcfg.batch_size_test)
         tst = eval_metric(params, cfg, tok, test_ds, task,
-                          extended=extended_metrics)
+                          extended=extended_metrics,
+                          batch_size=fcfg.batch_size_test)
         print(f"VALID: {val:.4f}  TEST: {tst:.4f}")
         if (higher_better and val >= best_valid) or \
            (not higher_better and val < best_valid):

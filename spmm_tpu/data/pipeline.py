@@ -29,6 +29,7 @@ def batch_supervised(
     seed: int = 0,
     drop_last: bool = False,
     pad_batch: bool = False,
+    truncation: bool = True,
 ) -> Iterator[dict]:
     """Yield {'ids','mask','target'} batches; optionally pad the final batch
     up to batch_size (repeating row 0) with 'n_real' recording true rows."""
@@ -45,7 +46,8 @@ def batch_supervised(
             idx = np.concatenate([idx, np.repeat(idx[:1],
                                                  batch_size - len(idx))])
         ids, mask = tok.encode_batch([texts[i] for i in idx],
-                                     max_len=max_len, buckets=buckets)
+                                     max_len=max_len, buckets=buckets,
+                                     truncation=truncation)
         yield {"ids": ids, "mask": mask,
                "target": np.asarray(targets)[idx], "n_real": n_real}
 
@@ -110,7 +112,11 @@ def batch_pretrain(
 
 
 def prefetch(it: Iterable, depth: int = 2) -> Iterator:
-    """Background-thread prefetch so host batching overlaps device compute."""
+    """Background-thread prefetch so host batching overlaps device compute.
+
+    Exceptions raised by the wrapped iterator propagate to the consumer
+    (a swallowed error would silently truncate every epoch at the bad item).
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     DONE = object()
 
@@ -118,8 +124,9 @@ def prefetch(it: Iterable, depth: int = 2) -> Iterator:
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -127,4 +134,6 @@ def prefetch(it: Iterable, depth: int = 2) -> Iterator:
         item = q.get()
         if item is DONE:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

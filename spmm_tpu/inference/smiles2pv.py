@@ -31,7 +31,8 @@ from spmm_tpu.models import spmm
 Params = dict[str, Any]
 
 
-@partial(jax.jit, static_argnames=("text_cfg", "prop_cfg", "n_properties"))
+@partial(jax.jit, static_argnames=("text_cfg", "prop_cfg", "n_properties",
+                                   "attention_impl"))
 def predict_pv(
     params: Params,
     input_ids: jnp.ndarray,        # [B, L] SMILES tokens (leading CLS dropped)
@@ -39,12 +40,20 @@ def predict_pv(
     text_cfg: Optional[BertArchConfig] = None,
     prop_cfg: Optional[BertArchConfig] = None,
     n_properties: int = spmm.N_PROPERTIES,
+    attention_impl: str = "xla",
 ) -> jnp.ndarray:
-    """Returns normalized property predictions [B, 53]."""
+    """Returns normalized property predictions [B, 53].
+
+    ``attention_impl="pallas"`` runs every attention through the fused VMEM
+    kernel (spmm_tpu.ops.pallas_attention) — this workload re-encodes full
+    sequences 53 times, exactly where the fusion pays."""
     text_cfg = text_cfg or text_config()
     prop_cfg = prop_cfg or property_config()
 
-    text_embeds = spmm.encode_text(params, text_cfg, input_ids, attention_mask)
+    text_embeds = jbert.bert_forward(
+        params["text_encoder"]["bert"], text_cfg,
+        input_ids=input_ids, attention_mask=attention_mask, mode="text",
+        attention_impl=attention_impl)
 
     b = input_ids.shape[0]
     h = text_cfg.hidden_size
@@ -58,8 +67,10 @@ def predict_pv(
         buf = carry
         prefix_mask = (positions <= i).astype(jnp.int32)          # [54]
         pmask = jnp.broadcast_to(prefix_mask, (b, n_properties + 1))
-        prop_embeds = spmm.encode_properties(params, prop_cfg, buf,
-                                             attention_mask=pmask)
+        prop_embeds = jbert.bert_forward(
+            params["property_encoder"], prop_cfg,
+            inputs_embeds=buf, attention_mask=pmask,
+            attention_impl=attention_impl)
         fused = jbert.bert_forward(
             params["text_encoder"]["bert"], text_cfg,
             encoder_embeds=prop_embeds,
@@ -68,6 +79,7 @@ def predict_pv(
             encoder_attention_mask=attention_mask,
             is_decoder=True,
             mode="fusion",
+            attention_impl=attention_impl,
         )
         # "last position" of the active prefix = index i
         pred = spmm.mtr_head_forward(

@@ -128,6 +128,7 @@ def attention_block(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     kv_override: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    attention_impl: str = "xla",
 ) -> jnp.ndarray:
     """Projected MHA + output dense + residual LN (reference xbert.py:362-422).
 
@@ -144,7 +145,7 @@ def attention_block(
     ctx = multi_head_attention(
         q, k, v, additive_mask,
         dropout_rate=cfg.attention_probs_dropout_prob,
-        dropout_rng=r0, deterministic=deterministic,
+        dropout_rng=r0, deterministic=deterministic, impl=attention_impl,
     )
     out = dense(p["out"], merge_heads(ctx))
     out = _dropout(out, cfg.hidden_dropout_prob, r1, deterministic)
@@ -176,12 +177,14 @@ def layer_forward(
     rng: Optional[jax.Array] = None,
     self_kv: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
     cross_kv: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    attention_impl: str = "xla",
 ) -> jnp.ndarray:
     """One encoder layer: self-attn (+cross-attn if present) + FFN."""
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
     hidden = attention_block(
         p["self_attn"], cfg, hidden, hidden, additive_self_mask,
         deterministic, rngs[0], kv_override=self_kv,
+        attention_impl=attention_impl,
     )
     if "cross_attn" in p:
         assert encoder_hidden is not None or cross_kv is not None, (
@@ -190,6 +193,7 @@ def layer_forward(
         hidden = attention_block(
             p["cross_attn"], cfg, hidden, encoder_hidden, additive_cross_mask,
             deterministic, rngs[1], kv_override=cross_kv,
+            attention_impl=attention_impl,
         )
     return mlp_block(p["mlp"], cfg, hidden, deterministic, rngs[2])
 
@@ -220,6 +224,7 @@ def encoder_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    attention_impl: str = "xla",
 ) -> jnp.ndarray:
     """Run the layer stack section selected by ``mode`` (reference xbert.py:537-618).
 
@@ -230,11 +235,12 @@ def encoder_forward(
     (reference gradient-checkpointing branch, xbert.py:583-605; here a real
     jax.checkpoint instead of unused plumbing).
     """
-    fwd = layer_forward
+    import functools
+
+    fwd = functools.partial(layer_forward, attention_impl=attention_impl)
     if remat:
         # cfg (1) and deterministic (6) are static python values
-        fwd = jax.checkpoint(layer_forward,
-                             static_argnums=(1, 6), prevent_cse=False)
+        fwd = jax.checkpoint(fwd, static_argnums=(1, 6), prevent_cse=False)
     for i in _layer_range(cfg, mode):
         layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
         if isinstance(encoder_hidden, (list, tuple)):
@@ -268,6 +274,7 @@ def bert_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    attention_impl: str = "xla",
 ) -> jnp.ndarray:
     """BertModel.forward equivalent (reference xbert.py:950-1091).
 
@@ -318,7 +325,7 @@ def bert_forward(
     return encoder_forward(
         params, cfg, hidden, self_mask,
         encoder_hidden_states, cross_mask, mode, deterministic, rng,
-        remat=remat,
+        remat=remat, attention_impl=attention_impl,
     )
 
 
@@ -362,7 +369,8 @@ def _init_ln(d):
 def init_bert_params(rng: jax.Array, cfg: BertArchConfig) -> Params:
     h = cfg.hidden_size
     std = cfg.initializer_range
-    keys = iter(jax.random.split(rng, 6 + cfg.num_hidden_layers * 8))
+    # 6 non-layer + up to 10 per layer (self 4 + cross 4 + mlp 2)
+    keys = iter(jax.random.split(rng, 6 + cfg.num_hidden_layers * 10))
 
     def nrm(shape):
         return jax.random.normal(next(keys), shape, jnp.float32) * std

@@ -1,10 +1,14 @@
 """Multi-head attention core.
 
-XLA implementation (einsum -> fp32 softmax -> einsum); the Pallas fused kernel
-in spmm_tpu.ops.pallas_attention is swapped in for the long-sequence training
-path once shapes warrant it.  Matches reference xbert.py:304-350 semantics:
-scores scaled by 1/sqrt(head_dim), additive mask applied pre-softmax, dropout
-on the attention probabilities.
+Two implementations behind one interface (reference xbert.py:304-350
+semantics: scores scaled by 1/sqrt(head_dim), additive mask pre-softmax,
+dropout on the probabilities):
+
+  - impl="xla"    einsum -> fp32 softmax -> einsum (default; only path that
+                  supports attention-prob dropout, i.e. training)
+  - impl="pallas" fused VMEM kernel (spmm_tpu.ops.pallas_attention) for
+                  no-dropout inference paths; falls back to interpret mode
+                  off-TPU
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Scaled dot-product attention; returns [B, h, Lq, D].
 
@@ -30,6 +35,11 @@ def multi_head_attention(
     reference runs fp16 AMP with fp32 softmax via autocast; on TPU we run
     bf16 matmuls with an fp32 softmax).
     """
+    if impl == "pallas" and (deterministic or dropout_rate == 0.0):
+        from spmm_tpu.ops.pallas_attention import pallas_mha
+
+        return pallas_mha(q, k, v, additive_mask,
+                          interpret=jax.default_backend() != "tpu")
     head_dim = q.shape[-1]
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -73,6 +73,14 @@ class SmilesTokenizer:
         self._max_piece_len = max(
             len(t[2:]) if t.startswith("##") else len(t) for t in self.vocab
         )
+        self._native = None
+        if native_available():
+            try:
+                self._native = NativeWordpiece(self.vocab,
+                                               max_input_chars_per_word=
+                                               max_input_chars_per_word)
+            except OSError:
+                self._native = None
 
     # ------------------------------------------------------------------ #
     # string -> pieces
@@ -158,13 +166,38 @@ class SmilesTokenizer:
         (reference SPMM_models.py:357): the datasets prepend a literal '[CLS]'
         string, so the tokenizer's own leading [CLS] column is dropped and the
         string-token [CLS] plays the role of BOS.
+
+        Uses the native C++ encoder (native/libspmm_host.so) when built —
+        ~5x the Python path on pretraining ingestion; output is identical
+        (parity-tested in tests/test_native_tokenizer.py).
         """
+        if self._native is not None and truncation and max_len is not None:
+            raw, lens = self._native.encode_batch_padded(list(texts), max_len)
+            if drop_leading_cls:
+                raw, lens = raw[:, 1:], lens - 1
+            longest = int(lens.max())
+            if buckets:
+                longest = next((b for b in sorted(buckets) if b >= longest),
+                               max(buckets))
+            ids = np.ascontiguousarray(raw[:, :longest])
+            mask = (np.arange(longest)[None, :]
+                    < lens[:, None]).astype(np.int32)
+            ids = ids * mask
+            return ids, mask
         seqs = [self.encode(t, max_len=max_len, truncation=truncation) for t in texts]
         if drop_leading_cls:
             seqs = [s[1:] for s in seqs]
         longest = max(len(s) for s in seqs)
         if buckets:
-            pad_len = next((b for b in sorted(buckets) if b >= longest), max(buckets))
+            pad_len = next((b for b in sorted(buckets) if b >= longest), None)
+            if pad_len is None:
+                if truncation:
+                    pad_len = max(buckets)
+                else:
+                    # no truncation requested (reference rxn path pads to the
+                    # unbounded longest, d_rxn_prediction.py:39): grow past the
+                    # bucket set in aligned steps rather than cutting [SEP] off
+                    pad_len = -(-longest // 32) * 32
             longest = pad_len
         ids = np.zeros((len(seqs), longest), dtype=np.int32)   # 0 == [PAD]
         mask = np.zeros((len(seqs), longest), dtype=np.int32)

@@ -244,7 +244,11 @@ def pretrain_loss(
                    ).astype(jnp.float32)
 
     def soft_targets(sim_m):
-        return alpha * jax.nn.softmax(sim_m, axis=1) + (1 - alpha) * sim_targets
+        # targets are constants (reference computes them under torch.no_grad,
+        # SPMM_models.py:98-119) — in particular no gradient flows to `temp`
+        # through the momentum similarities
+        return jax.lax.stop_gradient(
+            alpha * jax.nn.softmax(sim_m, axis=1) + (1 - alpha) * sim_targets)
 
     sim_i2t = prop_feat @ text_feat_all / temp
     sim_t2i = text_feat @ prop_feat_all / temp
@@ -466,11 +470,13 @@ def make_pretrain_step(
             # queue dequeue/enqueue (reference SPMM_models.py:271-286)
             gb = prop_feats.shape[0]
             ptr = queue["ptr"]
+            # modular scatter: safe even when a restored ptr is not aligned
+            # to the current global batch (dynamic_update_slice would clamp
+            # at the right edge and corrupt the queue)
+            cols = (ptr + jnp.arange(gb)) % pcfg.queue_size
             new_queue = {
-                "prop": jax.lax.dynamic_update_slice(
-                    queue["prop"], prop_feats.T, (0, ptr)),
-                "text": jax.lax.dynamic_update_slice(
-                    queue["text"], text_feats.T, (0, ptr)),
+                "prop": queue["prop"].at[:, cols].set(prop_feats.T),
+                "text": queue["text"].at[:, cols].set(text_feats.T),
                 "ptr": (ptr + gb) % pcfg.queue_size,
             }
             return new_params, new_opt, new_queue

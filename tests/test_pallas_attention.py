@@ -51,3 +51,31 @@ def test_pallas_bf16():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(want, dtype=np.float32), atol=3e-2)
+
+
+def test_predict_pv_pallas_matches_xla():
+    """The pallas attention path produces the same PV predictions as XLA
+    (tiny config, interpret mode)."""
+    from spmm_tpu.configs import BertArchConfig
+    from spmm_tpu.inference.smiles2pv import predict_pv
+    from spmm_tpu.models.spmm import init_spmm_params
+
+    TINY = dict(
+        vocab_size=300, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=1, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2, fusion_layer=1,
+        encoder_width=64,
+    )
+    tc = BertArchConfig(**TINY, add_cross_attention=True)
+    pc = BertArchConfig(**{**TINY, "vocab_size": 1, "num_hidden_layers": 1,
+                           "fusion_layer": 1}, add_cross_attention=False)
+    params = init_spmm_params(jax.random.PRNGKey(0), tc, pc,
+                              with_pretrain_heads=False)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 4, 300)
+    mask = jnp.ones((2, 8), jnp.int32)
+    want = predict_pv(params, ids, mask, text_cfg=tc, prop_cfg=pc,
+                      n_properties=4)
+    got = predict_pv(params, ids, mask, text_cfg=tc, prop_cfg=pc,
+                     n_properties=4, attention_impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=0)
