@@ -124,8 +124,7 @@ class PretrainConfig:
     warmup_epochs: int = 20       # interpreted as warmup *chunks* of 100 steps
     grad_clip: float = 5.0
     bf16_compute: bool = False    # bf16 encoder compute (reference: fp16 AMP)
-    remat: bool = False           # jax.checkpoint each layer (memory for FLOPs)
-    sequential_losses: bool = True  # barrier the 4 loss subgraphs (see pretrain.py)
+    remat: bool = False           # objective+layer rematerialization (memory for FLOPs)
 
 
 @dataclasses.dataclass(frozen=True)

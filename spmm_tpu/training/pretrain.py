@@ -263,109 +263,111 @@ def pretrain_loss(
                 + ce(sim_i2i, soft_targets(sim_i2i_m))
                 + ce(sim_t2t, soft_targets(sim_t2t_m))) / 2.0
 
-    # The four objectives are independent subgraphs over shared encoder
-    # outputs; XLA's latency-hiding scheduler runs them (and their
-    # backwards) concurrently, stacking ~2GB of temporaries per objective
-    # (>10GB peak at full size).  Sequencing them with optimization
-    # barriers — matching the reference's eager execution order — caps the
-    # peak at one objective's working set.
-    seq = pcfg.sequential_losses
-
-    def _chain(dep, *vals):
-        if not seq:
-            return vals
-        out = jax.lax.optimization_barrier((dep, *vals))
-        return out[1:]
-
-    prop_embeds, text_embeds, sim_i2t, sim_t2i = _chain(
-        loss_ita, prop_embeds, text_embeds, sim_i2t, sim_t2i)
+    # Objective-level rematerialization: in one fused backward, every
+    # objective's forward residuals live until its backward segment runs, so
+    # the four objectives' residuals stack (~10GB at full size; barriers only
+    # pin more).  Wrapping each heavy objective in jax.checkpoint keeps only
+    # its small INPUTS resident and recomputes its internals during the
+    # backward — the objectives' residuals no longer coexist.
+    def _objective_ckpt(f):
+        return jax.checkpoint(f, prevent_cse=False) if pcfg.remat else f
 
     # ---- ITM with in-batch hard negatives ----
-    weights_i2t = jax.nn.softmax(sim_i2t[:, :bs], axis=1)
-    weights_t2i = jax.nn.softmax(sim_t2i[:, :bs], axis=1)
+    # hard-negative sampling is discrete and gradient-free (reference
+    # computes the weights under no_grad, SPMM_models.py:154-161)
+    weights_i2t = jax.nn.softmax(jax.lax.stop_gradient(sim_i2t[:, :bs]), axis=1)
+    weights_t2i = jax.nn.softmax(jax.lax.stop_gradient(sim_t2i[:, :bs]), axis=1)
     diag = jnp.eye(bs, dtype=bool)
     log_w_i2t = jnp.log(jnp.where(diag, 0.0, weights_i2t) + 1e-30)
     log_w_t2i = jnp.log(jnp.where(diag, 0.0, weights_t2i) + 1e-30)
     neg_prop_idx = jax.random.categorical(rngs[5], log_w_t2i, axis=1)  # [B]
     neg_text_idx = jax.random.categorical(rngs[6], log_w_i2t, axis=1)  # [B]
-    neg_prop_idx = jax.lax.stop_gradient(neg_prop_idx)
-    neg_text_idx = jax.lax.stop_gradient(neg_text_idx)
 
-    prop_embeds_neg = prop_embeds[neg_prop_idx]
-    text_embeds_neg = text_embeds[neg_text_idx]
-    text_atts_neg = mask[neg_text_idx]
+    def _itm(prop_embeds, text_embeds):
+        prop_embeds_neg = prop_embeds[neg_prop_idx]
+        text_embeds_neg = text_embeds[neg_text_idx]
+        text_atts_neg = mask[neg_text_idx]
+        # fused pos+neg fusion passes (batch-independent => identical
+        # numerics to the reference's separate pos / neg calls,
+        # SPMM_models.py:137-199)
+        prop_q = jnp.concatenate([prop_embeds, prop_embeds_neg, prop_embeds])
+        text_k = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
+        text_k_mask = jnp.concatenate([mask, mask, text_atts_neg])
+        prop_side = jbert.bert_forward(
+            params["text_encoder"]["bert"], text_cfg,
+            encoder_embeds=prop_q,
+            attention_mask=jnp.tile(prop_atts, (3, 1)),
+            encoder_hidden_states=text_k, encoder_attention_mask=text_k_mask,
+            mode="fusion", deterministic=deterministic, rng=rngs[7],
+            remat=remat,
+        )[:, 0]
+        text_q = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
+        text_q_mask = jnp.concatenate([mask, mask, text_atts_neg])
+        prop_k = jnp.concatenate([prop_embeds, prop_embeds_neg, prop_embeds])
+        text_side = jbert.bert_forward(
+            params["text_encoder"]["bert"], text_cfg,
+            encoder_embeds=text_q, attention_mask=text_q_mask,
+            encoder_hidden_states=prop_k,
+            encoder_attention_mask=jnp.tile(prop_atts, (3, 1)),
+            mode="fusion", deterministic=deterministic, rng=rngs[8],
+            remat=remat,
+        )[:, 0]
+        vl = jnp.concatenate([prop_side, text_side], axis=-1)  # [3B, 1536]
+        itm_logits = jbert.dense(params["itm_head"], vl)
+        itm_labels = jnp.concatenate(
+            [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)])
+        return -jnp.take_along_axis(
+            jax.nn.log_softmax(itm_logits, axis=-1),
+            itm_labels[:, None], axis=1)[:, 0].mean()
 
-    # fused pos+neg fusion passes (batch-independent => identical numerics to
-    # the reference's separate pos / neg calls, SPMM_models.py:137-199)
-    prop_q = jnp.concatenate([prop_embeds, prop_embeds_neg, prop_embeds])
-    text_k = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
-    text_k_mask = jnp.concatenate([mask, mask, text_atts_neg])
-    prop_side = jbert.bert_forward(
-        params["text_encoder"]["bert"], text_cfg,
-        encoder_embeds=prop_q,
-        attention_mask=jnp.tile(prop_atts, (3, 1)),
-        encoder_hidden_states=text_k, encoder_attention_mask=text_k_mask,
-        mode="fusion", deterministic=deterministic, rng=rngs[7], remat=remat,
-    )[:, 0]
-    text_q = jnp.concatenate([text_embeds, text_embeds, text_embeds_neg])
-    text_q_mask = jnp.concatenate([mask, mask, text_atts_neg])
-    prop_k = jnp.concatenate([prop_embeds, prop_embeds_neg, prop_embeds])
-    text_side = jbert.bert_forward(
-        params["text_encoder"]["bert"], text_cfg,
-        encoder_embeds=text_q, attention_mask=text_q_mask,
-        encoder_hidden_states=prop_k,
-        encoder_attention_mask=jnp.tile(prop_atts, (3, 1)),
-        mode="fusion", deterministic=deterministic, rng=rngs[8], remat=remat,
-    )[:, 0]
-    vl = jnp.concatenate([prop_side, text_side], axis=-1)      # [3B, 1536]
-    itm_logits = jbert.dense(params["itm_head"], vl)
-    itm_labels = jnp.concatenate(
-        [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)])
-    loss_itm = -jnp.take_along_axis(
-        jax.nn.log_softmax(itm_logits, axis=-1),
-        itm_labels[:, None], axis=1)[:, 0].mean()
-
-    prop_embeds, prop_embeds_m, text_embeds = _chain(
-        loss_itm, prop_embeds, prop_embeds_m, text_embeds)
+    loss_itm = _objective_ckpt(_itm)(prop_embeds, text_embeds)
 
     # ---- MLM (causal next-token with PV conditioning + distillation) ----
+    # momentum logits are gradient-free: compute once outside the checkpoint
+    # and pass them in (7MB beats a 12-layer recompute)
     logits_m = jax.lax.stop_gradient(jbert.mlm_forward(
         ema["text_encoder"], text_cfg, input_ids=ids, attention_mask=mask,
         encoder_hidden_states=prop_embeds_m, encoder_attention_mask=prop_atts,
         is_decoder=True, deterministic=deterministic, rng=rngs[9],
     ))[:, :-1, :]
-    mlm_logits = jbert.mlm_forward(
-        params["text_encoder"], text_cfg, input_ids=ids, attention_mask=mask,
-        encoder_hidden_states=prop_embeds, encoder_attention_mask=prop_atts,
-        is_decoder=True, deterministic=deterministic, rng=rngs[10],
-        remat=remat,
-    )[:, :-1, :]
-    labels = ids[:, 1:]
-    logp = jax.nn.log_softmax(mlm_logits, axis=-1)
-    # plain mean CE over ALL positions (pads included; see module docstring)
-    loss_ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1).mean()
-    distill = -jnp.sum(logp * jax.nn.softmax(logits_m, axis=-1), axis=-1)
-    keep = (labels != 0).astype(jnp.float32)
-    loss_distill = jnp.sum(distill * keep) / jnp.maximum(keep.sum(), 1.0)
-    loss_mlm = (1 - alpha) * loss_ce + alpha * loss_distill
 
-    properties, text_embeds = _chain(loss_mlm, properties, text_embeds)
+    def _mlm(prop_embeds, logits_m):
+        mlm_logits = jbert.mlm_forward(
+            params["text_encoder"], text_cfg, input_ids=ids,
+            attention_mask=mask, encoder_hidden_states=prop_embeds,
+            encoder_attention_mask=prop_atts, is_decoder=True,
+            deterministic=deterministic, rng=rngs[10], remat=remat,
+        )[:, :-1, :]
+        labels = ids[:, 1:]
+        logp = jax.nn.log_softmax(mlm_logits, axis=-1)
+        # plain mean CE over ALL positions (pads included; module docstring)
+        loss_ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1).mean()
+        distill = -jnp.sum(logp * jax.nn.softmax(logits_m, axis=-1), axis=-1)
+        keep = (labels != 0).astype(jnp.float32)
+        loss_distill = jnp.sum(distill * keep) / jnp.maximum(keep.sum(), 1.0)
+        return (1 - alpha) * loss_ce + alpha * loss_distill
+
+    loss_mlm = _objective_ckpt(_mlm)(prop_embeds, logits_m)
 
     # ---- MPM (causal property regression over text) ----
-    prop_embeds_causal = spmm.encode_properties(
-        params, prop_cfg, properties, is_decoder=True,
-        deterministic=deterministic, rng=rngs[11], remat=remat)
-    prop_out = jbert.bert_forward(
-        params["text_encoder"]["bert"], text_cfg,
-        encoder_embeds=prop_embeds_causal, attention_mask=prop_atts,
-        encoder_hidden_states=text_embeds, encoder_attention_mask=mask,
-        is_decoder=True, mode="fusion", deterministic=deterministic,
-        rng=rngs[12], remat=remat,
-    )[:, :-1, :]
-    pred = spmm.mtr_head_forward(params["property_mtr_head"], text_cfg, prop_out)
-    keep_p = 1.0 - mpm_mask
-    loss_mpm = (jnp.sum(jnp.square(pred - prop_orig) * keep_p)
+    def _mpm(properties, text_embeds):
+        prop_embeds_causal = spmm.encode_properties(
+            params, prop_cfg, properties, is_decoder=True,
+            deterministic=deterministic, rng=rngs[11], remat=remat)
+        prop_out = jbert.bert_forward(
+            params["text_encoder"]["bert"], text_cfg,
+            encoder_embeds=prop_embeds_causal, attention_mask=prop_atts,
+            encoder_hidden_states=text_embeds, encoder_attention_mask=mask,
+            is_decoder=True, mode="fusion", deterministic=deterministic,
+            rng=rngs[12], remat=remat,
+        )[:, :-1, :]
+        pred = spmm.mtr_head_forward(params["property_mtr_head"], text_cfg,
+                                     prop_out)
+        keep_p = 1.0 - mpm_mask
+        return (jnp.sum(jnp.square(pred - prop_orig) * keep_p)
                 / jnp.maximum(keep_p.sum(), 1.0))
+
+    loss_mpm = _objective_ckpt(_mpm)(properties, text_embeds)
 
     total = loss_mlm + pcfg.mpm_weight * loss_mpm + loss_ita + loss_itm
     aux = {
