@@ -40,7 +40,10 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 encoder compute (reference: fp16 AMP)")
     p.add_argument("--remat", action="store_true",
-                   help="rematerialize layers (fits batch 96/chip on v5e-16G)")
+                   help="objective+layer rematerialization (memory for FLOPs)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate state buffers (~2GB HBM; broken on the axon "
+                        "remote runtime)")
     args = p.parse_args(argv)
 
     seed = seed_everything(args.seed)
@@ -67,7 +70,11 @@ def main(argv=None):
     # replicate the state over the mesh up front: a single-device-committed
     # state would recompile the step on its second call (sharding change)
     state = jax.device_put(state, replicated(mesh))
-    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch, donate=True)
+    # NOTE: donate=True saves ~2GB HBM but triggers INVALID_ARGUMENT at
+    # execution time on the axon remote-TPU runtime; enable it on standard
+    # PJRT TPU runtimes via --donate
+    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch,
+                                 donate=args.donate)
     rng = jax.random.PRNGKey(seed + 1)
 
     losses = []
