@@ -145,5 +145,8 @@ def generate_batched(
         result = jax.device_get(
             _beam_batch(params, jnp.asarray(chunk), None, rngs, spec))
         for i in range(n):
-            out.append(_decode_beams(tok, result, i, k, stochastic, py_rng))
+            # batched mode always takes the best beam, even when sampling
+            # stochastically (reference d_pv2smiles_batched.py:57 — the
+            # random.choice variant is commented out there)
+            out.append(_decode_beams(tok, result, i, k, False, py_rng))
     return out
