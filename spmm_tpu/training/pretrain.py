@@ -170,11 +170,18 @@ def pretrain_loss(
     prop_cfg: BertArchConfig,
     pcfg: PretrainConfig,
     deterministic: bool = False,
+    noise_override: Optional[Params] = None,
 ):
-    """Returns (total_loss, aux)."""
+    """Returns (total_loss, aux).
+
+    ``noise_override`` optionally fixes the internally-drawn randomness
+    ({"mpm_mask", "neg_prop_idx", "neg_text_idx"}) — used by the golden
+    parity test against the reference loss formula.
+    """
     prop_orig, ids, mask = batch["prop"], batch["ids"], batch["mask"]
     bs = prop_orig.shape[0]
     rngs = jax.random.split(rng, 13)
+    noise_override = noise_override or {}
 
     if pcfg.bf16_compute:
         # bf16 encoder weights (LN/softmax stay fp32 inside the blocks;
@@ -200,8 +207,10 @@ def pretrain_loss(
         jnp.clip(temp_raw, 0.01, 0.5) - temp_raw)
 
     # ---- property masking: Bernoulli(0.5), 1 = masked ----
-    mpm_mask = jax.random.bernoulli(
-        rngs[0], pcfg.mask_prob, prop_orig.shape).astype(jnp.float32)
+    mpm_mask = noise_override.get("mpm_mask")
+    if mpm_mask is None:
+        mpm_mask = jax.random.bernoulli(
+            rngs[0], pcfg.mask_prob, prop_orig.shape).astype(jnp.float32)
     properties = spmm.embed_properties(params, prop_orig, mpm_mask)  # [B,54,H]
 
     # ---- unimodal encoders ----
@@ -280,8 +289,12 @@ def pretrain_loss(
     diag = jnp.eye(bs, dtype=bool)
     log_w_i2t = jnp.log(jnp.where(diag, 0.0, weights_i2t) + 1e-30)
     log_w_t2i = jnp.log(jnp.where(diag, 0.0, weights_t2i) + 1e-30)
-    neg_prop_idx = jax.random.categorical(rngs[5], log_w_t2i, axis=1)  # [B]
-    neg_text_idx = jax.random.categorical(rngs[6], log_w_i2t, axis=1)  # [B]
+    neg_prop_idx = noise_override.get(
+        "neg_prop_idx",
+        jax.random.categorical(rngs[5], log_w_t2i, axis=1))  # [B]
+    neg_text_idx = noise_override.get(
+        "neg_text_idx",
+        jax.random.categorical(rngs[6], log_w_i2t, axis=1))  # [B]
 
     def _itm(prop_embeds, text_embeds):
         prop_embeds_neg = prop_embeds[neg_prop_idx]
