@@ -6,8 +6,9 @@ through HBM (the XLA path materializes probabilities between fusions).
 Sequences in this model family are short (<= ~150 tokens, SURVEY §5.7), so a
 whole attention row-block fits comfortably in VMEM without tiling.
 
-Used on the no-grad inference paths (decode/eval); the training path keeps
-the XLA attention in spmm_tpu.ops.attention (pallas_call is not
+Opt-in on the no-grad inference paths via ``attention_impl="pallas"``
+(e.g. spmm_tpu.inference.smiles2pv.predict_pv); the training path keeps the
+XLA attention in spmm_tpu.ops.attention (pallas_call is not
 auto-differentiable and XLA fuses the backward well at these sizes).
 Numerics match the XLA path bit-for-fp32: scores scaled by 1/sqrt(D),
 additive -10000 masking pre-softmax (reference xbert.py:304-335 semantics).
