@@ -57,12 +57,71 @@ Params = dict[str, Any]
 def init_self_cache(
     cfg: BertArchConfig, batch: int, max_len: int, dtype=jnp.float32
 ) -> Params:
-    # beam-major layout [B, L, h, T, D]: the per-step beam-reorder gather
-    # moves whole contiguous rows (one DMA per beam) instead of strided
-    # slices — this layout is worth ~3x decode throughput on v5e
-    shape = (batch, cfg.num_hidden_layers, cfg.num_attention_heads,
+    # layer-major layout [L, B, h, T, D]: per-layer slices are contiguous
+    # (the attention working set each step), and the cache is append-only —
+    # beam search never physically reorders it (ancestry indirection resolves
+    # the beam shuffle at attention time, see _ancestor_attention)
+    shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
              max_len, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def init_beam_cache(
+    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32
+) -> Params:
+    """Beam-search KV cache [L, m, h, k, T, D].
+
+    Heads precede lanes so each layer's slice feeds _beam_attention directly
+    (batch dims m,h adjacent-leading, contraction over (lane, position) — no
+    transposes, no retiling reshapes), with beam ancestry folded into the
+    additive mask (see _ancestry_mask).  The cache is append-only: beam
+    search never physically reorders it — the old per-token full-cache
+    gather (read+write of the whole buffer at ~30 GB/s effective gather
+    speed on v5e) is replaced by a cheap [m, k, T] int32 ancestry
+    permutation.
+    """
+    shape = (cfg.num_hidden_layers, m, cfg.num_attention_heads, k,
+             max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _ancestry_mask(anc: jnp.ndarray, key_valid: jnp.ndarray) -> jnp.ndarray:
+    """Additive mask [m, 1, k(beam), k(lane), T] selecting ancestor lanes.
+
+    Entry (m, b, l, t) is 0 where ``anc[m, b, t] == l`` and position t is
+    valid for beam b, else MASK_VALUE (-10000, the reference's additive-mask
+    convention).  Masked-out entries underflow to exactly 0.0 in the fp32
+    softmax, so attending over all k*T (lane, position) keys with this mask
+    is bit-identical to attending over beam b's own T-entry virtual cache.
+    """
+    m, k, T = anc.shape
+    onehot = anc[:, :, None, :] == jnp.arange(k, dtype=anc.dtype)[None, None, :, None]
+    sel = jnp.logical_and(onehot, key_valid[:, :, None, :].astype(bool))
+    return ((1.0 - sel.astype(jnp.float32)) * MASK_VALUE)[:, None]
+
+
+def _beam_attention(
+    q: jnp.ndarray,     # [m, h, k, D] one query per beam (query-length = k)
+    k6: jnp.ndarray,    # [m, h, k, T, D] per-lane cache slice for one layer
+    v6: jnp.ndarray,    # [m, h, k, T, D]
+    mask: jnp.ndarray,  # [m, 1, k, k, T] from _ancestry_mask
+) -> jnp.ndarray:
+    """Attention over all (lane, position) keys with ancestry folded into the
+    additive mask; contracts (l, t) jointly WITHOUT merging them in the cache
+    layout — a [.., k, T, D] -> [.., k*T, D] reshape retiles the whole buffer
+    every step when T is not tile-aligned (measured 126 ms/step at m=64 on
+    v5e vs ~3 ms/step for this formulation).  fp32 scores/softmax, matching
+    ops.attention.multi_head_attention numerics exactly (masked-out terms
+    contribute exactly 0.0).
+    """
+    d = q.shape[-1]
+    s = jnp.einsum("mhqd,mhltd->mhqlt", q, k6,
+                   preferred_element_type=jnp.float32)
+    s = s / jnp.sqrt(jnp.asarray(d, jnp.float32)) + mask
+    mx = s.max(axis=(3, 4), keepdims=True)
+    e = jnp.exp(s - mx)
+    p = (e / e.sum(axis=(3, 4), keepdims=True)).astype(v6.dtype)
+    return jnp.einsum("mhqlt,mhltd->mhqd", p, v6)
 
 
 def precompute_cross_kv(
@@ -98,23 +157,40 @@ def decode_step(
     cache: Params,               # self KV cache [L, B, h, T, D]
     key_valid: jnp.ndarray,      # [B, T] 1 = attend (written non-pad tokens)
     cross_kv: Optional[Params],  # from precompute_cross_kv (or None)
-    cross_mask: Optional[jnp.ndarray],  # [B, Le] binary (or None)
+    cross_mask: Optional[jnp.ndarray],  # [B or m, Le] binary (or None)
+    anc: Optional[jnp.ndarray] = None,  # [m, k, T] beam ancestry (or None)
 ) -> tuple[jnp.ndarray, Params]:
     """One cached decoder step; returns (logits [B, V], updated cache).
 
     Mathematically identical to the reference's full-prefix re-forward at the
     last position: under causal masking earlier hidden states never change, so
     caching their K/V is exact.
+
+    Two batch layouts:
+      - greedy (``anc=None``): B independent rows; cache [L, B, h, T, D],
+        cross_kv/cross_mask per row.
+      - beam (``anc`` given, shape [m, k, T]): B = m*k lanes (beam-major
+        within molecule); cache [L, m, h, k, T, D] (init_beam_cache) whose k
+        lanes act as extra key positions with the beam-ancestry indirection
+        folded into the additive mask (_ancestry_mask); cross_kv/cross_mask
+        are per *molecule* [L, m, h, Le, D] / [m, Le] — the k beams of a
+        molecule attend to the shared encoder K/V as k query positions of one
+        attention call, so the encoder cache is never duplicated per beam.
     """
     h = cfg.num_attention_heads
     hidden = jbert.embeddings_forward(
         params_mlm["bert"]["embeddings"], cfg,
         input_ids=token[:, None], position_offset=pos,
     )  # [B, 1, H]
-    self_mask = ((1.0 - key_valid.astype(jnp.float32)) * MASK_VALUE)[:, None, None, :]
     xmask = None
     if cross_mask is not None:
         xmask = ((1.0 - cross_mask.astype(jnp.float32)) * MASK_VALUE)[:, None, None, :]
+    if anc is not None:
+        m, kb, T = anc.shape
+        self_mask = _ancestry_mask(anc, key_valid.reshape(m, kb, T))
+    else:
+        self_mask = ((1.0 - key_valid.astype(jnp.float32))
+                     * MASK_VALUE)[:, None, None, :]
 
     new_cache_k, new_cache_v = cache["k"], cache["v"]
     for i in range(cfg.num_hidden_layers):
@@ -123,23 +199,52 @@ def decode_step(
         q = jbert.split_heads(jbert.dense(sp["q"], hidden), h)
         k_new = jbert.split_heads(jbert.dense(sp["k"], hidden), h)  # [B,h,1,D]
         v_new = jbert.split_heads(jbert.dense(sp["v"], hidden), h)
-        new_cache_k = jax.lax.dynamic_update_slice(
-            new_cache_k, k_new[:, None].astype(new_cache_k.dtype),
-            (0, i, 0, pos, 0))
-        new_cache_v = jax.lax.dynamic_update_slice(
-            new_cache_v, v_new[:, None].astype(new_cache_v.dtype),
-            (0, i, 0, pos, 0))
-        ctx = jbert.multi_head_attention(
-            q, new_cache_k[:, i].astype(q.dtype),
-            new_cache_v[:, i].astype(q.dtype), self_mask)
+        if anc is not None:
+            d = q.shape[-1]
+            # [m*k, h, 1, D] -> [1, m, h, k, 1, D] slab at (layer, pos)
+            def to_slab(x, dtype):
+                return x.reshape(m, kb, h, d).transpose(0, 2, 1, 3)[
+                    None, :, :, :, None, :].astype(dtype)
+
+            new_cache_k = jax.lax.dynamic_update_slice(
+                new_cache_k, to_slab(k_new, new_cache_k.dtype),
+                (i, 0, 0, 0, pos, 0))
+            new_cache_v = jax.lax.dynamic_update_slice(
+                new_cache_v, to_slab(v_new, new_cache_v.dtype),
+                (i, 0, 0, 0, pos, 0))
+            q_m = q.reshape(m, kb, h, d).transpose(0, 2, 1, 3)  # [m, h, k, D]
+            ctx = _beam_attention(
+                q_m, new_cache_k[i].astype(q.dtype),
+                new_cache_v[i].astype(q.dtype), self_mask)      # [m, h, k, D]
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(m * kb, h, 1, d)
+        else:
+            new_cache_k = jax.lax.dynamic_update_slice(
+                new_cache_k, k_new[None].astype(new_cache_k.dtype),
+                (i, 0, 0, pos, 0))
+            new_cache_v = jax.lax.dynamic_update_slice(
+                new_cache_v, v_new[None].astype(new_cache_v.dtype),
+                (i, 0, 0, pos, 0))
+            ctx = jbert.multi_head_attention(
+                q, new_cache_k[i].astype(q.dtype),
+                new_cache_v[i].astype(q.dtype), self_mask)
         att = jbert.dense(sp["out"], jbert.merge_heads(ctx))
         hidden = jbert.layer_norm(sp["ln"], att + hidden, cfg.layer_norm_eps)
         if "cross_attn" in lp:
             cp = lp["cross_attn"]
             qx = jbert.split_heads(jbert.dense(cp["q"], hidden), h)
-            ctxx = jbert.multi_head_attention(
-                qx, cross_kv["k"][i].astype(qx.dtype),
-                cross_kv["v"][i].astype(qx.dtype), xmask)
+            if anc is not None:
+                # fold the k beams into the query length of one attention
+                # call over the molecule's shared encoder K/V
+                d = qx.shape[-1]
+                qx_m = qx.reshape(m, kb, h, d).transpose(0, 2, 1, 3)
+                ctxx = jbert.multi_head_attention(
+                    qx_m, cross_kv["k"][i].astype(qx.dtype),
+                    cross_kv["v"][i].astype(qx.dtype), xmask)  # [m, h, kb, d]
+                ctxx = ctxx.transpose(0, 2, 1, 3).reshape(m * kb, h, 1, d)
+            else:
+                ctxx = jbert.multi_head_attention(
+                    qx, cross_kv["k"][i].astype(qx.dtype),
+                    cross_kv["v"][i].astype(qx.dtype), xmask)
             attx = jbert.dense(cp["out"], jbert.merge_heads(ctxx))
             hidden = jbert.layer_norm(cp["ln"], attx + hidden, cfg.layer_norm_eps)
         hidden = jbert.mlp_block(lp["mlp"], cfg, hidden)
@@ -169,10 +274,6 @@ class BeamSpec:
         # [CLS] + seed token + max_steps appended tokens
         return self.max_steps + 2
 
-    @property
-    def fin_capacity(self) -> int:
-        return self.stop_count + self.k * self.k
-
 
 def _sample_topk(logits, k, stochastic, rng):
     """(values=log softmax p of selected, indices [k]); stochastic = Gumbel
@@ -189,6 +290,197 @@ def _sample_topk(logits, k, stochastic, rng):
     return vals, idx
 
 
+def _sample_topk_batch(logits, k, stochastic, rngs):
+    """Per-molecule _sample_topk: logits [m, ...], rngs [m] keys."""
+    return jax.vmap(lambda lg, r: _sample_topk(lg, k, stochastic, r))(
+        logits, rngs)
+
+
+def beam_search_batched(
+    params_mlm: Params,
+    cfg: BertArchConfig,
+    cross_hidden: jnp.ndarray,      # [m, Le, H] encoder sequence per query
+    cross_mask: jnp.ndarray,        # [m, Le] binary
+    spec: BeamSpec,
+    rngs: Optional[jax.Array] = None,   # [m] PRNG keys
+    cache_dtype=jnp.float32,
+) -> dict[str, jnp.ndarray]:
+    """Reference-exact k-beam decode over a batch of m queries.
+
+    The molecule batch is handled natively (not via vmap): the while-loop
+    condition is the scalar "any molecule unfinished", so JAX never has to
+    rewrite the body with a per-lane select over the whole carry — the KV
+    cache is written append-only and read once per step, nothing else.  Per-
+    molecule completion freezes only the cheap outputs (seqs/logp/harvest
+    buffers); random streams are per molecule and identical to running each
+    query alone (fold_in(rng_m, step)).
+
+    Returns dict with leading molecule axis m:
+      seqs     [m, k, max_len]  top-k finished sequences (incl. trailing SEP)
+      logp     [m, k]           their logprobs
+      lengths  [m, k]           sequence lengths incl. the trailing SEP
+      n_finished [m]            harvested-beam count (0 => live-beam fallback)
+    """
+    m = cross_hidden.shape[0]
+    k, T = spec.k, spec.max_len
+    if rngs is None:
+        rngs = jax.random.split(jax.random.PRNGKey(0), m)
+
+    # segmented cache growth: run the token loop in segments with a cache
+    # sized for that segment only (T_seg = seg_end + 2), padding the cache at
+    # each boundary.  Every step's attention reads the full static cache, so
+    # early steps at T=102 would read 3x the live data; with segments the
+    # read grows with the prefix, and workloads whose beams finish early
+    # (stop_count=k**2 typically lands <= 40 tokens) never touch the
+    # largest cache at all — the next segment's while-loop exits immediately
+    # once every molecule is done.
+    seg_ends, s = [], 32
+    while s < spec.max_steps:
+        seg_ends.append(s)
+        s *= 2
+    seg_ends.append(spec.max_steps)
+
+    cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden)
+    cache = init_beam_cache(cfg, m, k, seg_ends[0] + 2, cache_dtype)
+
+    # ancestry matrix: anc[m, b, t] = physical cache lane holding beam b's
+    # K/V for position t.  The cache itself is append-only (each step writes
+    # lane b at the current position); the beam shuffle only permutes this
+    # cheap [m, k, T] int32 matrix, and attention resolves it densely
+    # (_ancestor_attention) — no full-cache gather per token.
+    lane_ids = jnp.arange(k, dtype=jnp.int32)
+    anc = jnp.broadcast_to(lane_ids[None, :, None], (m, k, T))
+
+    # ---- step 0: [CLS] on every beam, sample k continuations ----
+    T0 = seg_ends[0] + 2
+    seqs = jnp.zeros((m, k, T), jnp.int32).at[:, :, 0].set(spec.cls_id)
+    key_valid = (seqs != 0)[:, :, :T0].reshape(m * k, T0).astype(jnp.int32)
+    logits, cache = decode_step(
+        params_mlm, cfg, seqs.reshape(m * k, T)[:, 0], jnp.int32(0), cache,
+        key_valid, cross_kv, cross_mask, anc=anc[:, :, :T0])
+    step_rngs = jax.vmap(lambda r: jax.random.fold_in(r, 0))(rngs)
+    vals, idx = _sample_topk_batch(
+        logits.reshape(m, k, -1)[:, 0], k, spec.stochastic, step_rngs)
+    seqs = seqs.at[:, :, 1].set(idx)      # beams share the CLS-cache entries
+    logp = vals                            # [m, k]
+    # NOTE: step-0 SEPs are not harvested (reference seeds beams unchecked)
+
+    # running top-k harvest buffer: only the k best finished beams are ever
+    # reported (reference sorted(...)[: k]), so instead of scattering every
+    # SEP-ended candidate into a stop_count-sized buffer we merge each step's
+    # <= k*k candidates into a k-wide running top-k (concat + top_k — no
+    # scatters in the hot loop).  top_k keeps the first occurrence on ties
+    # and the running buffer is concatenated before the new candidates, so
+    # earlier harvests win ties exactly like the reference's stable sort.
+    fin_seqs = jnp.zeros((m, k, T), jnp.int32)
+    fin_logp = jnp.full((m, k), -jnp.inf, jnp.float32)
+    fin_len = jnp.zeros((m, k), jnp.int32)
+    fin_cnt = jnp.zeros((m,), jnp.int32)
+    done = jnp.zeros((m,), bool)
+
+    def make_segment(seg_end: int, T_seg: int):
+        def cond(state):
+            step, done = state[0], state[1]
+            return jnp.logical_and(step < seg_end,
+                                   jnp.logical_not(jnp.all(done)))
+
+        def body(state):
+            (step, done, seqs, logp, anc, cache,
+             fin_seqs, fin_logp, fin_len, fin_cnt) = state
+            pos = step + 1                  # position of the newest token
+            key_valid = (seqs != 0)[:, :, :T_seg].reshape(
+                m * k, T_seg).astype(jnp.int32)
+            logits, new_cache = decode_step(
+                params_mlm, cfg, seqs.reshape(m * k, T)[:, pos], pos, cache,
+                key_valid, cross_kv, cross_mask, anc=anc[:, :, :T_seg])
+            step_rngs = jax.vmap(
+                lambda r: jax.random.fold_in(r, step + 1))(rngs)
+            vals, idx = _sample_topk_batch(
+                logits.reshape(m, k, -1), k, spec.stochastic, step_rngs)
+            k2_p = logp[:, :, None] + vals               # [m, k, k]
+
+            # candidate sequences: parent prefix + new token at pos+1
+            cand_seqs = jnp.repeat(seqs, k, axis=1)      # [m, k*k, T]
+            cand_seqs = cand_seqs.at[:, :, pos + 1].set(idx.reshape(m, k * k))
+
+            # ---- harvest SEP-ended candidates into the running top-k ----
+            ended = (idx == spec.sep_id).reshape(m, k * k)
+            flat_p = k2_p.reshape(m, k * k)
+            merged_logp = jnp.concatenate(
+                [fin_logp, jnp.where(ended, flat_p, -jnp.inf)], axis=1)
+            merged_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+            merged_len = jnp.concatenate(
+                [fin_len, jnp.full((m, k * k), pos + 2, jnp.int32)], axis=1)
+            new_fin_logp, top = jax.lax.top_k(merged_logp, k)
+            new_fin_seqs = jnp.take_along_axis(
+                merged_seqs, top[:, :, None], axis=1)
+            new_fin_len = jnp.take_along_axis(merged_len, top, axis=1)
+            new_fin_cnt = fin_cnt + jnp.sum(ended, axis=1)
+
+            # suppress harvested entries, then select next beams
+            k2_sup = jnp.where(ended.reshape(m, k, k), -1e5, k2_p)
+            new_logp, flat_idx = jax.lax.top_k(k2_sup.reshape(m, k * k), k)
+            parent = flat_idx // k                       # [m, k]
+            new_seqs = jnp.take_along_axis(
+                cand_seqs, flat_idx[:, :, None], axis=1)
+            # inherit the parent's ancestry for written positions
+            # (anc[p, pos]==p since this step wrote lane p at pos); future
+            # positions write into the beam's own lane
+            new_anc = jnp.where(jnp.arange(T)[None, None, :] > pos,
+                                lane_ids[None, :, None],
+                                jnp.take_along_axis(anc, parent[:, :, None],
+                                                    axis=1))
+
+            # freeze the *outputs* of finished molecules; the cache and
+            # ancestry keep advancing harmlessly — frozen outputs never read
+            # them, and skipping their freeze avoids a full-cache select
+            def keep(new, old):
+                d = done.reshape((m,) + (1,) * (new.ndim - 1))
+                return jnp.where(d, old, new)
+
+            return (step + 1,
+                    jnp.logical_or(done, new_fin_cnt >= spec.stop_count),
+                    keep(new_seqs, seqs), keep(new_logp, logp),
+                    new_anc, new_cache,
+                    keep(new_fin_seqs, fin_seqs),
+                    keep(new_fin_logp, fin_logp),
+                    keep(new_fin_len, fin_len), keep(new_fin_cnt, fin_cnt))
+
+        return cond, body
+
+    state = (jnp.int32(0), done, seqs, logp, anc, cache,
+             fin_seqs, fin_logp, fin_len, fin_cnt)
+    prev_T = seg_ends[0] + 2
+    for seg_end in seg_ends:
+        T_seg = seg_end + 2
+        if T_seg != prev_T:                 # grow the cache for this segment
+            cache = state[5]
+            cache = jax.tree.map(
+                lambda c: jnp.pad(
+                    c, [(0, 0)] * 4 + [(0, T_seg - prev_T), (0, 0)]), cache)
+            state = state[:5] + (cache,) + state[6:]
+            prev_T = T_seg
+        cond, body = make_segment(seg_end, T_seg)
+        state = jax.lax.while_loop(cond, body, state)
+    (step, done, seqs, logp, anc, cache,
+     fin_seqs, fin_logp, fin_len, fin_cnt) = state
+
+    # fallback: nothing harvested within max_steps -> use live beams (a
+    # molecule with fin_cnt==0 necessarily ran the loop to max_steps);
+    # fin_* are already the top-k sorted by logprob (running merge)
+    no_fin = (fin_cnt == 0)[:, None]
+    live_len = jnp.full((m, k), step + 2, jnp.int32)
+    out_seqs = jnp.where(no_fin[:, :, None], seqs, fin_seqs)
+    out_logp = jnp.where(no_fin, logp, fin_logp)
+    out_len = jnp.where(no_fin, live_len, fin_len)
+    return {
+        "seqs": out_seqs,
+        "logp": out_logp,
+        "lengths": out_len,
+        "n_finished": fin_cnt,
+    }
+
+
 def beam_search(
     params_mlm: Params,
     cfg: BertArchConfig,
@@ -198,7 +490,7 @@ def beam_search(
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
 ) -> dict[str, jnp.ndarray]:
-    """Reference-exact k-beam decode for ONE query; vmap over queries.
+    """Single-query k-beam decode (beam_search_batched with m=1).
 
     Returns dict with:
       seqs     [k, max_len]  top-k finished sequences (incl. trailing SEP)
@@ -206,101 +498,11 @@ def beam_search(
       lengths  [k]           sequence lengths incl. the trailing SEP
       n_finished scalar      harvested-beam count (0 => live-beam fallback)
     """
-    k, T, F = spec.k, spec.max_len, spec.fin_capacity
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-
-    cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden[None])
-    # broadcast encoder K/V over the k beams
-    cross_kv = jax.tree.map(lambda x: jnp.broadcast_to(
-        x, (x.shape[0], k) + x.shape[2:]), cross_kv)
-    cross_mask_k = jnp.broadcast_to(cross_mask[None], (k,) + cross_mask.shape)
-
-    cache = init_self_cache(cfg, k, T, cache_dtype)
-
-    # ---- step 0: [CLS] on beam 0, sample k continuations ----
-    seqs = jnp.zeros((k, T), jnp.int32).at[:, 0].set(spec.cls_id)
-    key_valid = (seqs != 0).astype(jnp.int32)
-    logits, cache = decode_step(
-        params_mlm, cfg, seqs[:, 0], jnp.int32(0), cache, key_valid,
-        cross_kv, cross_mask_k)
-    vals, idx = _sample_topk(logits[0], k, spec.stochastic,
-                             jax.random.fold_in(rng, 0))
-    seqs = seqs.at[:, 1].set(idx)          # beams share the CLS-cache entries
-    logp = vals
-    # NOTE: step-0 SEPs are not harvested (reference seeds beams unchecked)
-
-    fin_seqs = jnp.zeros((F, T), jnp.int32)
-    fin_logp = jnp.full((F,), -jnp.inf, jnp.float32)
-    fin_len = jnp.zeros((F,), jnp.int32)
-    fin_cnt = jnp.int32(0)
-
-    def cond(state):
-        step, done, *_ = state
-        return jnp.logical_and(step < spec.max_steps, jnp.logical_not(done))
-
-    def body(state):
-        (step, done, seqs, logp, cache,
-         fin_seqs, fin_logp, fin_len, fin_cnt) = state
-        pos = step + 1                      # position of the newest token
-        key_valid = (seqs != 0).astype(jnp.int32)
-        logits, new_cache = decode_step(
-            params_mlm, cfg, seqs[:, pos], pos, cache, key_valid,
-            cross_kv, cross_mask_k)
-        vals, idx = _sample_topk(
-            logits, k, spec.stochastic,
-            jax.random.fold_in(rng, step + 1))          # [k, k]
-        k2_p = logp[:, None] + vals                      # [k, k]
-
-        # candidate sequences: parent prefix + new token at pos+1
-        cand_seqs = jnp.repeat(seqs, k, axis=0)          # [k*k, T]
-        cand_seqs = cand_seqs.at[:, pos + 1].set(idx.reshape(-1))
-
-        # ---- harvest SEP-ended candidates (row-major order) ----
-        ended = (idx == spec.sep_id).reshape(-1)         # [k*k]
-        flat_p = k2_p.reshape(-1)
-        slots = fin_cnt + jnp.cumsum(ended) - 1
-        slots = jnp.where(ended, slots, F)               # F = out-of-bounds
-        fin_seqs = fin_seqs.at[slots].set(cand_seqs, mode="drop")
-        fin_logp = fin_logp.at[slots].set(flat_p, mode="drop")
-        fin_len = fin_len.at[slots].set(pos + 2, mode="drop")
-        fin_cnt = fin_cnt + jnp.sum(ended)
-
-        # suppress harvested entries, then select next beams
-        k2_sup = jnp.where(ended.reshape(k, k), -1e5, k2_p)
-        new_logp, flat_idx = jax.lax.top_k(k2_sup.reshape(-1), k)
-        parent = flat_idx // k
-        new_seqs = cand_seqs[flat_idx]
-        new_cache = jax.tree.map(lambda c: c[parent], new_cache)
-
-        new_done = fin_cnt >= spec.stop_count
-        # freeze state once done (vmap lanes may lag each other)
-        keep = lambda new, old: jnp.where(done, old, new)
-        return (step + 1,
-                jnp.logical_or(done, new_done),
-                keep(new_seqs, seqs), keep(new_logp, logp),
-                jax.tree.map(keep, new_cache, cache),
-                keep(fin_seqs, state[5]), keep(fin_logp, state[6]),
-                keep(fin_len, state[7]), keep(fin_cnt, state[8]))
-
-    state = (jnp.int32(0), jnp.bool_(False), seqs, logp, cache,
-             fin_seqs, fin_logp, fin_len, fin_cnt)
-    (step, done, seqs, logp, cache,
-     fin_seqs, fin_logp, fin_len, fin_cnt) = jax.lax.while_loop(
-        cond, body, state)
-
-    # fallback: nothing harvested within max_steps -> use live beams
-    no_fin = fin_cnt == 0
-    live_len = jnp.full((k,), step + 2, jnp.int32)
-    top_logp, top_i = jax.lax.top_k(fin_logp, k)
-    out_seqs = jnp.where(no_fin, seqs, fin_seqs[top_i])
-    out_logp = jnp.where(no_fin, logp, top_logp)
-    out_len = jnp.where(no_fin, live_len, fin_len[top_i])
-    return {
-        "seqs": out_seqs,
-        "logp": out_logp,
-        "lengths": out_len,
-        "n_finished": fin_cnt,
-    }
+    out = beam_search_batched(
+        params_mlm, cfg, cross_hidden[None], cross_mask[None], spec,
+        rng[None], cache_dtype)
+    return jax.tree.map(lambda x: x[0], out)
 
 
 def greedy_decode(

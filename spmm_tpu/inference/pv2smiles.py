@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spmm_tpu.configs import BertArchConfig, property_config, text_config
-from spmm_tpu.inference.decoding import BeamSpec, beam_search
+from spmm_tpu.inference.decoding import BeamSpec, beam_search_batched
 from spmm_tpu.models import spmm
 from spmm_tpu.tokenizer import SmilesTokenizer
 
@@ -67,11 +67,8 @@ def _beam_batch(
         prop_embeds = prop_embeds.astype(jnp.bfloat16)
         cache_dtype = jnp.bfloat16
 
-    def one(embeds, mask, rng):
-        return beam_search(te, text_cfg, embeds, mask, spec, rng,
-                           cache_dtype=cache_dtype)
-
-    return jax.vmap(one)(prop_embeds, cross_mask, rngs)
+    return beam_search_batched(te, text_cfg, prop_embeds, cross_mask, spec,
+                               rngs, cache_dtype=cache_dtype)
 
 
 def _decode_beams(tok: SmilesTokenizer, result, i: int, k: int,
@@ -89,6 +86,23 @@ def _decode_beams(tok: SmilesTokenizer, result, i: int, k: int,
     return tok.decode(ids)
 
 
+def _mesh_put(mesh, params, batch_arrays):
+    """Replicate params / shard batch-leading arrays over the dp mesh.
+
+    The decode kernels are ordinary jitted functions: with inputs placed
+    this way GSPMD partitions the whole beam search (cache, bookkeeping,
+    collective `all(done)` loop condition) over the molecule axis — the
+    multi-chip story is placement, not new code (north star is per v5e-8,
+    BASELINE.md)."""
+    from spmm_tpu.parallel.mesh import batch_sharding, replicated
+
+    params = jax.device_put(params, replicated(mesh))
+    batch_arrays = [
+        None if a is None else jax.device_put(a, batch_sharding(mesh))
+        for a in batch_arrays]
+    return params, batch_arrays
+
+
 def generate_with_property(
     params: Params,
     tok: SmilesTokenizer,
@@ -99,13 +113,18 @@ def generate_with_property(
     stochastic: bool = True,
     seed: int = 0,
     device_batch: int = 128,
+    mesh=None,
 ) -> list[str]:
-    """Single-query workload: n_generate beam searches over one condition."""
+    """Single-query workload: n_generate beam searches over one condition.
+    With ``mesh`` the per-call batch is sharded over its dp axis
+    (device_batch is then the GLOBAL batch and must divide the mesh size)."""
     import random as _random
 
     spec = BeamSpec(k=k, stop_count=k * k, stochastic=stochastic)
     py_rng = _random.Random(seed)
     master = jax.random.PRNGKey(seed)
+    if mesh is not None:
+        assert device_batch % mesh.devices.size == 0
     out: list[str] = []
     for start in range(0, n_generate, device_batch):
         n = min(device_batch, n_generate - start)
@@ -113,6 +132,9 @@ def generate_with_property(
         pv = jnp.broadcast_to(jnp.asarray(pv_normalized), (device_batch, 53))
         mask = jnp.broadcast_to(jnp.asarray(prop_mask), (device_batch, 53))
         rngs = jax.random.split(jax.random.fold_in(master, start), device_batch)
+        if mesh is not None:
+            params, (pv, mask, rngs) = _mesh_put(mesh, params,
+                                                 (pv, mask, rngs))
         result = jax.device_get(_beam_batch(params, pv, mask, rngs, spec))
         for i in range(n):
             out.append(_decode_beams(tok, result, i, k, stochastic, py_rng))
@@ -127,23 +149,29 @@ def generate_batched(
     stochastic: bool = False,
     seed: int = 0,
     device_batch: int = 64,
+    mesh=None,
 ) -> list[str]:
     """File-mode workload: one deterministic k-beam per molecule,
-    stop_count=k, no property masking (reference d_pv2smiles_batched.py)."""
+    stop_count=k, no property masking (reference d_pv2smiles_batched.py).
+    With ``mesh`` molecules are sharded over its dp axis."""
     import random as _random
 
     spec = BeamSpec(k=k, stop_count=k, stochastic=stochastic)
     py_rng = _random.Random(seed)
     master = jax.random.PRNGKey(seed)
+    if mesh is not None:
+        assert device_batch % mesh.devices.size == 0
     n_total = pvs_normalized.shape[0]
     out: list[str] = []
     for start in range(0, n_total, device_batch):
         n = min(device_batch, n_total - start)
         chunk = np.zeros((device_batch, 53), np.float32)
         chunk[:n] = pvs_normalized[start: start + n]
+        pv = jnp.asarray(chunk)
         rngs = jax.random.split(jax.random.fold_in(master, start), device_batch)
-        result = jax.device_get(
-            _beam_batch(params, jnp.asarray(chunk), None, rngs, spec))
+        if mesh is not None:
+            params, (pv, rngs) = _mesh_put(mesh, params, (pv, rngs))
+        result = jax.device_get(_beam_batch(params, pv, None, rngs, spec))
         for i in range(n):
             # batched mode always takes the best beam, even when sampling
             # stochastically (reference d_pv2smiles_batched.py:57 — the

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from spmm_tpu.configs import BertArchConfig, smiles_config, text_config
-from spmm_tpu.inference.decoding import BeamSpec, beam_search, greedy_decode
+from spmm_tpu.inference.decoding import (
+    BeamSpec, beam_search_batched, greedy_decode,
+)
 from spmm_tpu.models.rxn import encode_reactants
 from spmm_tpu.tokenizer import SmilesTokenizer
 
@@ -70,16 +72,33 @@ def _beam_batch(
         enc = enc.astype(jnp.bfloat16)
         cache_dtype = jnp.bfloat16
 
-    def one(e, m, r):
-        return beam_search(dec, decoder_cfg, e, m, spec, r,
-                           cache_dtype=cache_dtype)
-
-    return jax.vmap(one)(enc, src_mask, rngs)
+    return beam_search_batched(dec, decoder_cfg, enc, src_mask, spec, rngs,
+                               cache_dtype=cache_dtype)
 
 
 def _truncate_at_sep(ids: np.ndarray, sep_id: int = 3) -> np.ndarray:
     hits = np.nonzero(ids == sep_id)[0]
     return ids[: hits[0]] if len(hits) else ids
+
+
+def _pad_rows(ids: np.ndarray, mask: np.ndarray, n: int):
+    """Pad the batch dim to n rows (pad rows decode garbage, dropped by the
+    caller; required for a fixed sharded batch shape)."""
+    if ids.shape[0] == n:
+        return ids, mask
+    pad = n - ids.shape[0]
+    ids = np.pad(np.asarray(ids), [(0, pad), (0, 0)])
+    ids[-pad:, 0] = 2                       # [CLS] so pad rows stay well-formed
+    return ids, np.pad(np.asarray(mask), [(0, pad), (0, 0)])
+
+
+def _mesh_put(mesh, params, arrays):
+    """Replicate params / shard batch arrays over the dp mesh (see
+    pv2smiles._mesh_put)."""
+    from spmm_tpu.parallel.mesh import batch_sharding, replicated
+
+    params = jax.device_put(params, replicated(mesh))
+    return params, [jax.device_put(a, batch_sharding(mesh)) for a in arrays]
 
 
 def predict_greedy(
@@ -88,16 +107,25 @@ def predict_greedy(
     sources: list[str],
     batch_size: int = 32,
     max_src_len: int = 150,
+    mesh=None,
 ) -> list[str]:
-    """Batch greedy decode; sources are raw reactant strings (no [CLS])."""
+    """Batch greedy decode; sources are raw reactant strings (no [CLS]).
+    With ``mesh`` molecules are sharded over its dp axis."""
+    if mesh is not None:
+        assert batch_size % mesh.devices.size == 0
     out: list[str] = []
     for start in range(0, len(sources), batch_size):
         batch = sources[start: start + batch_size]
         ids, mask = tok.encode_batch(
             ["[CLS]" + s for s in batch], max_len=max_src_len, truncation=False,
             buckets=(32, 64, 96, 128, max_src_len))
-        res = jax.device_get(_greedy_batch(
-            params, jnp.asarray(ids), jnp.asarray(mask)))
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        if mesh is not None:
+            ids, mask = _pad_rows(np.asarray(ids), np.asarray(mask),
+                                  batch_size)
+            params, (ids, mask) = _mesh_put(mesh, params, (ids, mask))
+        res = jax.device_get(_greedy_batch(params, jnp.asarray(ids),
+                                           jnp.asarray(mask)))
         for i in range(len(batch)):
             seq = _truncate_at_sep(np.asarray(res["seqs"][i]))
             out.append(tok.decode(seq))
@@ -112,17 +140,26 @@ def predict_beam(
     batch_size: int = 32,
     max_src_len: int = 150,
     seed: int = 0,
+    mesh=None,
 ) -> list[list[str]]:
-    """Per-sample k-beam decode; returns top-k candidate strings per source."""
+    """Per-sample k-beam decode; returns top-k candidate strings per source.
+    With ``mesh`` molecules are sharded over its dp axis."""
     spec = BeamSpec(k=k, stop_count=k * k, stochastic=False)
     master = jax.random.PRNGKey(seed)
+    if mesh is not None:
+        assert batch_size % mesh.devices.size == 0
     out: list[list[str]] = []
     for start in range(0, len(sources), batch_size):
         batch = sources[start: start + batch_size]
         ids, mask = tok.encode_batch(
             ["[CLS]" + s for s in batch], max_len=max_src_len, truncation=False,
             buckets=(32, 64, 96, 128, max_src_len))
-        rngs = jax.random.split(jax.random.fold_in(master, start), len(batch))
+        n_rows = batch_size if mesh is not None else len(batch)
+        ids, mask = _pad_rows(np.asarray(ids), np.asarray(mask), n_rows)
+        rngs = jax.random.split(jax.random.fold_in(master, start), n_rows)
+        if mesh is not None:
+            params, (ids, mask, rngs) = _mesh_put(mesh, params,
+                                                  (ids, mask, rngs))
         res = jax.device_get(_beam_batch(
             params, jnp.asarray(ids), jnp.asarray(mask), rngs, spec))
         for i in range(len(batch)):
