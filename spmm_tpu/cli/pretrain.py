@@ -22,6 +22,8 @@ from spmm_tpu.data.datasets import PretrainDataset
 from spmm_tpu.data.pipeline import batch_pretrain, prefetch
 from spmm_tpu.parallel.mesh import data_parallel_mesh, replicated
 from spmm_tpu.training.pretrain import init_pretrain_state, make_pretrain_step
+from spmm_tpu.utils.logging import MetricLogger
+from spmm_tpu.utils.profiling import compiled_flops, mfu
 
 
 def main(argv=None):
@@ -44,6 +46,8 @@ def main(argv=None):
     p.add_argument("--donate", action="store_true",
                    help="donate state buffers (~2GB HBM; broken on the axon "
                         "remote runtime)")
+    p.add_argument("--metrics_log", default=None,
+                   help="JSONL metrics path (default <output_dir>/metrics.jsonl)")
     args = p.parse_args(argv)
 
     seed = seed_everything(args.seed)
@@ -76,35 +80,51 @@ def main(argv=None):
     step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch,
                                  donate=args.donate)
     rng = jax.random.PRNGKey(seed + 1)
+    logger = MetricLogger(args.metrics_log
+                          or f"{args.output_dir}/metrics.jsonl")
 
+    compiled = None          # compile once; reuse the executable for its
+    flops_per_step = None    # cost analysis (MFU) without a second compile
     losses = []
     t0 = time.time()
     for epoch in range(args.epochs):
         batches = prefetch(batch_pretrain(
             tok, ds, global_bs, shuffle=True, seed=seed + epoch), depth=4)
         for b in batches:
-            state, metrics = step_fn(
-                state, {k: jnp.asarray(v) for k, v in b.items()},
-                jax.random.fold_in(rng, int(state["step"])))
+            batch = {k: jnp.asarray(v) for k, v in b.items()}
+            step_rng = jax.random.fold_in(rng, int(state["step"]))
+            if compiled is None:
+                compiled = step_fn.lower(state, batch, step_rng).compile()
+                flops_per_step = compiled_flops(compiled)
+            state, metrics = compiled(state, batch, step_rng)
             step = int(state["step"])
             losses.append([float(metrics[k]) for k in
                            ("loss_mlm", "loss_mpm", "loss_ita", "loss_itm")])
+            logger.log(step, {k: metrics[k] for k in
+                              ("loss", "loss_mlm", "loss_mpm", "loss_ita",
+                               "loss_itm", "lr")})
             if step % 50 == 0:
                 m = np.mean(losses[-50:], axis=0)
                 dt = time.time() - t0
+                step_time = dt / 50
+                util = mfu(flops_per_step, step_time, n_dev)
+                util_s = f" mfu {util:.1%}" if util else ""
                 print(f"step {step} lr {float(metrics['lr']):.2e} "
                       f"mlm {m[0]:.4f} mpm {m[1]:.4f} ita {m[2]:.4f} "
-                      f"itm {m[3]:.4f} ({global_bs * 50 / dt:.1f} samples/s)")
+                      f"itm {m[3]:.4f} ({global_bs * 50 / dt:.1f} samples/s"
+                      f"{util_s})")
                 t0 = time.time()
             if step % args.save_every == 0:
                 save_checkpoint(f"{args.output_dir}/step_{step}", state)
             if args.max_steps and step >= args.max_steps:
                 save_checkpoint(f"{args.output_dir}/step_{step}", state)
+                logger.close()
                 return
         m = np.mean(losses[-1000:], axis=0)
         print(f"\n mean loss: {m[0]:.4f}, {m[1]:.4f}, {m[2]:.4f}, {m[3]:.4f}")
         losses.clear()
     save_checkpoint(f"{args.output_dir}/final", state)
+    logger.close()
 
 
 if __name__ == "__main__":

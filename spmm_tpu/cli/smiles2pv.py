@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,17 +22,30 @@ from spmm_tpu.inference.smiles2pv import predict_pv
 from spmm_tpu.tokenizer import default_buckets
 
 
-def pv_generate(params, tok, smiles_list, stats, batch_size=64):
+def pv_generate(params, tok, smiles_list, stats, batch_size=64, mesh=None):
     """Library-style API accepting a list of SMILES strings
-    (reference d_smiles2pv.py:39-57); returns denormalized PVs [N, 53]."""
+    (reference d_smiles2pv.py:39-57); returns denormalized PVs [N, 53].
+    With ``mesh`` molecules are sharded over its dp axis (batch_size is the
+    global batch and must divide the mesh size)."""
+    if mesh is not None:
+        from spmm_tpu.parallel.mesh import batch_sharding, replicated
+        assert batch_size % mesh.devices.size == 0
+        params = jax.device_put(params, replicated(mesh))
     out = []
     for start in range(0, len(smiles_list), batch_size):
         chunk = smiles_list[start: start + batch_size]
         texts = [s if s.startswith("[CLS]") else "[CLS]" + s for s in chunk]
         ids, mask = tok.encode_batch(texts, max_len=100,
                                      buckets=default_buckets(100))
-        preds = np.asarray(predict_pv(params, jnp.asarray(ids),
-                                      jnp.asarray(mask)))
+        n = len(chunk)
+        if mesh is not None and n < batch_size:
+            ids = np.pad(np.asarray(ids), [(0, batch_size - n), (0, 0)])
+            mask = np.pad(np.asarray(mask), [(0, batch_size - n), (0, 0)])
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        if mesh is not None:
+            ids = jax.device_put(ids, batch_sharding(mesh))
+            mask = jax.device_put(mask, batch_sharding(mesh))
+        preds = np.asarray(predict_pv(params, ids, mask))[:n]
         out.append(stats.denormalize(preds))
     return np.concatenate(out)
 

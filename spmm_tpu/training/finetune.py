@@ -111,10 +111,18 @@ def auroc(labels: np.ndarray, scores: np.ndarray) -> float:
 
 
 def macro_auroc(labels: np.ndarray, scores: np.ndarray) -> float:
-    """Macro AUROC over label columns (d_classification_multilabel.py:91)."""
+    """Macro AUROC over label columns (d_classification_multilabel.py:91):
+    the explicit per-column mean of binary AUROCs (sklearn's default
+    ``average='macro'`` on 2-D input computes exactly this; spelled out here
+    so single-column degenerate label sets fail loudly per column)."""
     from sklearn.metrics import roc_auc_score
 
-    return float(roc_auc_score(labels, scores))
+    labels = np.asarray(labels)
+    if labels.ndim == 1:
+        return auroc(labels, scores)
+    cols = [float(roc_auc_score(labels[:, j], np.asarray(scores)[:, j]))
+            for j in range(labels.shape[1])]
+    return float(np.mean(cols))
 
 
 def rmse(preds: np.ndarray, targets: np.ndarray,

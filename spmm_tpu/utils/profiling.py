@@ -15,6 +15,33 @@ from typing import Optional
 import jax
 
 
+# bf16 peak per chip, for MFU reporting (TPU v5e: 197 TFLOP/s)
+PEAK_BF16_FLOPS_PER_CHIP = 197e12
+
+
+def compiled_flops(compiled) -> Optional[float]:
+    """Total flops of a jax.stages.Compiled step from XLA's cost analysis
+    (None when the backend doesn't expose it)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else None
+        if cost and "flops" in cost:
+            return float(cost["flops"])
+    except Exception:
+        pass
+    return None
+
+
+def mfu(flops_per_step: Optional[float], step_time_s: float,
+        n_chips: int = 1,
+        peak_per_chip: float = PEAK_BF16_FLOPS_PER_CHIP) -> Optional[float]:
+    """Model FLOPs utilization of a measured step (None if flops unknown)."""
+    if not flops_per_step or not step_time_s or step_time_s <= 0:
+        return None
+    return flops_per_step / step_time_s / (n_chips * peak_per_chip)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a device trace: with trace('/tmp/prof'): step(...)"""
