@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--no_pretrain_heads", action="store_true",
                    help="drop proj/itm heads (inference-only checkpoint)")
     p.add_argument("--queue_size", type=int, default=36864)
+    p.add_argument("--verify", default=None, metavar="SMILES_FILE",
+                   help="golden gate: run SMILES->PV through BOTH the "
+                        "reference torch graph and the converted JAX params "
+                        "on these molecules and assert agreement "
+                        "(BASELINE.json north star; needs /root/reference "
+                        "+ torch)")
+    p.add_argument("--verify_tolerance", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     from spmm_tpu.checkpoint.io import load_spmm_params, save_checkpoint
@@ -51,6 +58,17 @@ def main(argv=None):
     n = sum(x.size for x in jax.tree.leaves(out_tree))
     save_checkpoint(args.out, out_tree)
     print(f"converted {n:,} parameters -> {args.out}")
+
+    if args.verify:
+        from spmm_tpu.checkpoint.verify import verify_checkpoint
+
+        with open(args.verify) as f:
+            smiles = [ln.strip() for ln in f if ln.strip()]
+        dev = verify_checkpoint(args.torch_ckpt, smiles,
+                                tolerance=args.verify_tolerance)
+        print(f"verification OK: max |deviation| {dev:.2e} over "
+              f"{len(smiles)} molecules x 53 properties "
+              f"(tolerance {args.verify_tolerance:.0e})")
 
 
 if __name__ == "__main__":

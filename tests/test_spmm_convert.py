@@ -140,3 +140,32 @@ def test_pretrain_state_from_reference_is_resumable(torch, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state["ema"]["text_proj"]["w"]),
         raw["text_proj_m.weight"].numpy().T)
+
+
+def test_verify_checkpoint_gate(torch, tmp_path):
+    """The released-checkpoint golden gate (checkpoint/verify.py) on a
+    synthetic reference-style ckpt at tiny size: converts, dual-runs
+    SMILES->PV through the reference torch graph and our JAX path, and
+    passes the 1e-4 gate.  The same command validates the real
+    checkpoint_SPMM.ckpt the moment it lands (d_smiles2pv.py:109-165)."""
+    from conftest import has_reference
+
+    if not has_reference():
+        pytest.skip("reference repo needed")
+    from spmm_tpu.checkpoint.verify import verify_checkpoint
+    from spmm_tpu.configs import BertArchConfig
+
+    path = str(tmp_path / "ref.ckpt")
+    build_reference_style_ckpt(torch, path)
+    tiny = dict(vocab_size=300, hidden_size=32, num_hidden_layers=4,
+                num_attention_heads=4, intermediate_size=64,
+                max_position_embeddings=64, type_vocab_size=2,
+                fusion_layer=2, encoder_width=32)
+    text_cfg = BertArchConfig(**tiny, add_cross_attention=True)
+    prop_cfg = BertArchConfig(**{**tiny, "vocab_size": 1,
+                                 "num_hidden_layers": 2},
+                              add_cross_attention=False)
+    dev = verify_checkpoint(
+        path, ["CC(=O)O", "c1ccccc1", "CCO"], tolerance=1e-4,
+        text_cfg=text_cfg, prop_cfg=prop_cfg, n_properties=5)
+    assert dev <= 1e-4
