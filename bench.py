@@ -139,53 +139,66 @@ def bench_pretrain() -> dict:
         init_pretrain_state, make_pretrain_step,
     )
 
-    # bf16 compute + remat mirror the reference's fp16-AMP precision envelope
-    # and are the production pretrain config (cli/pretrain.py defaults)
-    pcfg = PretrainConfig(batch_size=PRETRAIN_BATCH, bf16_compute=True,
-                          remat=True)
-    text_cfg, prop_cfg = text_config(), property_config()
-    mesh = data_parallel_mesh(1)
-    state = init_pretrain_state(jax.random.PRNGKey(0), pcfg, text_cfg, prop_cfg)
-    from jax.sharding import NamedSharding, PartitionSpec
-    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch=1000,
-                                 text_cfg=text_cfg, prop_cfg=prop_cfg)
-
-    rng = jax.random.PRNGKey(1)
-    k1, k2 = jax.random.split(rng)
-    ids = jax.random.randint(k1, (PRETRAIN_BATCH, 100), 4, 300)
-    ids = ids.at[:, 0].set(2)
-    batch = {
-        "prop": jax.random.normal(k2, (PRETRAIN_BATCH, 53)),
-        "ids": ids,
-        "mask": jnp.ones((PRETRAIN_BATCH, 100), jnp.int32),
-    }
-
-    # one executable for both the run and the flops estimate (a second
-    # lower().compile() alongside the jit cache OOMs the 16G chip)
     from spmm_tpu.utils.profiling import compiled_flops, mfu
-    compiled = step_fn.lower(state, batch, rng).compile()
-    flops_per_step = compiled_flops(compiled)
 
-    state, metrics = compiled(state, batch, rng)     # warmup
-    jax.block_until_ready(state)
-    n_steps = 10
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = compiled(state, batch, jax.random.fold_in(rng, i))
-        # block each step: with donate=False (donation broken on axon) the
-        # async dispatch queue would otherwise hold many full state copies
+    def run_at_batch(bs):
+        # bf16 compute + remat + bf16 Adam mu mirror the reference's
+        # fp16-AMP precision envelope and are the production perf config
+        pcfg = PretrainConfig(batch_size=bs, bf16_compute=True, remat=True,
+                              bf16_moments=True)
+        text_cfg, prop_cfg = text_config(), property_config()
+        mesh = data_parallel_mesh(1)
+        state = init_pretrain_state(jax.random.PRNGKey(0), pcfg, text_cfg,
+                                    prop_cfg)
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch=1000,
+                                     text_cfg=text_cfg, prop_cfg=prop_cfg)
+        rng = jax.random.PRNGKey(1)
+        k1, k2 = jax.random.split(rng)
+        ids = jax.random.randint(k1, (bs, 100), 4, 300).at[:, 0].set(2)
+        batch = {"prop": jax.random.normal(k2, (bs, 53)), "ids": ids,
+                 "mask": jnp.ones((bs, 100), jnp.int32)}
+
+        # one executable for both the run and the flops estimate (a second
+        # lower().compile() alongside the jit cache OOMs the chip)
+        compiled = step_fn.lower(state, batch, rng).compile()
+        flops_per_step = compiled_flops(compiled)
+        state, metrics = compiled(state, batch, rng)     # warmup
         jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / n_steps
-    assert np.isfinite(float(metrics["loss"]))
+        n_steps = 10
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = compiled(state, batch,
+                                      jax.random.fold_in(rng, i))
+            # block each step: with donate=False (donation broken on axon)
+            # async dispatch would hold many full state copies
+            jax.block_until_ready(state)
+        dt = (time.perf_counter() - t0) / n_steps
+        assert np.isfinite(float(metrics["loss"]))
+        return dt, flops_per_step
+
+    # the HBM available on the shared axon chip varies; use the largest
+    # per-chip batch that fits (each failed attempt costs a ~6 min compile,
+    # so only three rungs; reference per-GPU batch is 96, SPMM_pretrain.py:16)
+    last_err = None
+    for bs in (64, 32, 16):
+        try:
+            dt, flops_per_step = run_at_batch(bs)
+            break
+        except Exception as e:  # RESOURCE_EXHAUSTED etc.
+            last_err = e
+    else:
+        raise RuntimeError(f"no pretrain batch size fit: {last_err}")
 
     util = mfu(flops_per_step, dt, n_chips=1)
     return {
         "metric": "pretrain_samples_per_sec_chip",
-        "value": round(PRETRAIN_BATCH / dt, 2),
+        "value": round(bs / dt, 2),
         "unit": "samples/s/chip",
         "vs_baseline": None,
         "mfu": round(util, 4) if util else None,
+        "batch": bs,
     }
 
 

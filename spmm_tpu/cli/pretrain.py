@@ -43,6 +43,12 @@ def main(argv=None):
                    help="bf16 encoder compute (reference: fp16 AMP)")
     p.add_argument("--remat", action="store_true",
                    help="objective+layer rematerialization (memory for FLOPs)")
+    p.add_argument("--bf16_moments", action="store_true",
+                   help="bf16 Adam first moment (halves one optimizer-state "
+                        "copy)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state + EMA over the dp mesh "
+                        "(ZeRO-1; params stay replicated)")
     p.add_argument("--donate", action="store_true",
                    help="donate state buffers (~2GB HBM; broken on the axon "
                         "remote runtime)")
@@ -65,15 +71,21 @@ def main(argv=None):
 
     pcfg = PretrainConfig(batch_size=args.batch_size, epochs=args.epochs,
                           queue_size=args.queue_size,
-                          bf16_compute=args.bf16, remat=args.remat)
+                          bf16_compute=args.bf16, remat=args.remat,
+                          bf16_moments=args.bf16_moments, zero1=args.zero1)
     state = init_pretrain_state(jax.random.PRNGKey(seed), pcfg)
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print("resumed at step", int(state["step"]))
 
-    # replicate the state over the mesh up front: a single-device-committed
+    # place the state over the mesh up front: a single-device-committed
     # state would recompile the step on its second call (sharding change)
-    state = jax.device_put(state, replicated(mesh))
+    if args.zero1:
+        from spmm_tpu.training.pretrain import pretrain_state_shardings
+
+        state = jax.device_put(state, pretrain_state_shardings(state, mesh))
+    else:
+        state = jax.device_put(state, replicated(mesh))
     # NOTE: donate=True saves ~2GB HBM but triggers INVALID_ARGUMENT at
     # execution time on the axon remote-TPU runtime; enable it on standard
     # PJRT TPU runtimes via --donate

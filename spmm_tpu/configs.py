@@ -125,6 +125,12 @@ class PretrainConfig:
     grad_clip: float = 5.0
     bf16_compute: bool = False    # bf16 encoder compute (reference: fp16 AMP)
     remat: bool = False           # objective+layer rematerialization (memory for FLOPs)
+    bf16_moments: bool = False    # bf16 Adam first moment (mu) — halves one
+                                  # optimizer-state copy; second moment stays
+                                  # fp32 (its dynamic range matters)
+    zero1: bool = False           # ZeRO-1: shard optimizer state + EMA over
+                                  # the dp mesh (params stay replicated;
+                                  # GSPMD all-gathers the updates)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,7 +63,8 @@ def make_optimizer(pcfg: PretrainConfig):
         return optax.chain(
             optax.clip_by_global_norm(pcfg.grad_clip),
             optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=pcfg.weight_decay),
+                        weight_decay=pcfg.weight_decay,
+                        mu_dtype=jnp.bfloat16 if pcfg.bf16_moments else None),
         )
 
     # concrete f32 initial value: keeps the opt-state pytree identical
@@ -147,6 +148,45 @@ def pretrain_state_from_reference(
         "queue": queue,
         "opt_state": make_optimizer(pcfg).init(params),
         "step": jnp.zeros((), jnp.int32),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# ZeRO-1 state sharding
+# --------------------------------------------------------------------------- #
+
+
+def _zero1_spec(leaf, n_dev: int):
+    """Shard a state leaf's leading axis over dp when it divides; scalars and
+    odd-shaped leaves stay replicated."""
+    shape = getattr(leaf, "shape", ())
+    if len(shape) >= 1 and shape[0] >= n_dev and shape[0] % n_dev == 0:
+        return P(DP_AXIS)
+    return P()
+
+
+def pretrain_state_shardings(state: Params, mesh) -> Params:
+    """NamedSharding tree for a ZeRO-1 pretrain state: params/queue/step
+    replicated (the forward needs whole params every step), optimizer state
+    and EMA sharded leaf-wise over dp.  Use with ``jax.device_put`` before the
+    first step (the reference has no equivalent — plain DDP replicates
+    everything, SURVEY §2.3; this is the TPU-native memory lever that fits
+    per-chip batch 96 / SPMM_pretrain.py:16 on 16G chips)."""
+    from jax.sharding import NamedSharding
+
+    n_dev = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+
+    def shard_tree(tree):
+        return jax.tree.map(
+            lambda leaf: NamedSharding(mesh, _zero1_spec(leaf, n_dev)), tree)
+
+    return {
+        "params": jax.tree.map(lambda _: repl, state["params"]),
+        "ema": shard_tree(state["ema"]),
+        "queue": jax.tree.map(lambda _: repl, state["queue"]),
+        "opt_state": shard_tree(state["opt_state"]),
+        "step": repl,
     }
 
 
@@ -468,6 +508,12 @@ def make_pretrain_step(
 
         # EMA momentum update BEFORE the forward uses the momentum encoders
         ema = ema_update(state["ema"], state["params"], pcfg.momentum)
+        if pcfg.zero1:
+            from jax.sharding import NamedSharding
+            n_dev = mesh.devices.size
+            ema = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _zero1_spec(x, n_dev))), ema)
 
         grads, loss, metrics, prop_feats, text_feats = sharded_grads(
             state["params"], ema, state["queue"], batch, rng, alpha)
@@ -502,6 +548,12 @@ def make_pretrain_step(
         new_params, new_opt, new_queue = jax.lax.cond(
             finite, do_update, skip_update,
             (state["params"], state["opt_state"], state["queue"]))
+        if pcfg.zero1:
+            from jax.sharding import NamedSharding
+            n_dev = mesh.devices.size
+            new_opt = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _zero1_spec(x, n_dev))), new_opt)
 
         new_state = {
             "params": new_params,

@@ -153,3 +153,47 @@ def test_no_recompile_across_steps(state):
         st, _ = step_fn(st, make_batch(10 + i, global_bs=16),
                         jax.random.PRNGKey(i))
     assert step_fn._cache_size() == 1
+
+
+def test_zero1_matches_replicated_and_stays_sharded(state):
+    """ZeRO-1 (opt state + EMA sharded over dp) must produce the same step as
+    the fully-replicated layout, and the updated state must keep the sharded
+    layout (VERDICT r1 item 5: the memory lever for per-chip batch 96)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec
+    from spmm_tpu.parallel.mesh import replicated
+    from spmm_tpu.training.pretrain import pretrain_state_shardings
+
+    mesh = data_parallel_mesh(8)
+    batch = make_batch(5, global_bs=16)
+
+    base_fn = make_pretrain_step(mesh, PCFG, steps_per_epoch=10,
+                                 text_cfg=TEXT_CFG, prop_cfg=PROP_CFG)
+    ref_state = jax.device_put(state, replicated(mesh))
+    want_state, want_metrics = base_fn(ref_state, batch, jax.random.PRNGKey(9))
+
+    z_pcfg = dataclasses.replace(PCFG, zero1=True)
+    z_fn = make_pretrain_step(mesh, z_pcfg, steps_per_epoch=10,
+                              text_cfg=TEXT_CFG, prop_cfg=PROP_CFG)
+    z_state = jax.device_put(state, pretrain_state_shardings(state, mesh))
+    got_state, got_metrics = z_fn(z_state, batch, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(got_metrics["loss"]),
+                               float(want_metrics["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_state["params"]["text_proj"]["w"]),
+        np.asarray(want_state["params"]["text_proj"]["w"]), atol=1e-6)
+
+    # the updated optimizer moments and EMA keep the dp-sharded layout
+    def leaf_spec(x):
+        return x.sharding.spec if hasattr(x, "sharding") else None
+
+    mu = got_state["opt_state"].inner_state[1][0].mu
+    sharded_leaves = [
+        x for x in jax.tree.leaves(mu)
+        if x.ndim >= 1 and x.shape[0] % 8 == 0 and x.shape[0] >= 8]
+    assert sharded_leaves, "expected shardable moment leaves"
+    assert any(leaf_spec(x) == PartitionSpec("dp") for x in sharded_leaves)
+    ema_w = got_state["ema"]["text_proj"]["w"]
+    assert leaf_spec(ema_w) == PartitionSpec("dp")
