@@ -178,19 +178,8 @@ def bench_pretrain() -> dict:
         assert np.isfinite(float(metrics["loss"]))
         return dt, flops_per_step
 
-    # the HBM available on the shared axon chip varies; use the largest
-    # per-chip batch that fits (each failed attempt costs a ~6 min compile,
-    # so only three rungs; reference per-GPU batch is 96, SPMM_pretrain.py:16)
-    last_err = None
-    for bs in (64, 32, 16):
-        try:
-            dt, flops_per_step = run_at_batch(bs)
-            break
-        except Exception as e:  # RESOURCE_EXHAUSTED etc.
-            last_err = e
-    else:
-        raise RuntimeError(f"no pretrain batch size fit: {last_err}")
-
+    bs = int(os.environ.get("SPMM_PRETRAIN_BATCH", PRETRAIN_BATCH))
+    dt, flops_per_step = run_at_batch(bs)
     util = mfu(flops_per_step, dt, n_chips=1)
     return {
         "metric": "pretrain_samples_per_sec_chip",
@@ -207,24 +196,42 @@ def main():
         print(json.dumps(bench_pretrain()))
         return
 
-    value = bench_spmm_tpu()
-
-    # secondary pretrain metric in a subprocess: a SIGKILLed full-size
-    # compile must not take down the headline metric
+    # secondary pretrain metric in a subprocess FIRST, before this process
+    # initializes jax: the machine has ONE chip, so the child can only get
+    # it while the parent holds no TPU client.  Output goes through a temp
+    # file (pipes can deadlock on the remote-compile helper's inherited fds)
+    # and a SIGKILLed full-size compile must not take down the headline.
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pretrain-only"],
-            capture_output=True, text=True, timeout=PRETRAIN_TIMEOUT_S)
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-        if r.returncode == 0 and line.startswith("{"):
-            print(line)
-        else:
-            print(f"pretrain bench unavailable: rc={r.returncode} "
-                  f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}",
+    import tempfile
+    pretrain_line = None
+    # each batch rung runs in a FRESH process: a RESOURCE_EXHAUSTED attempt
+    # leaves the jax client unable to allocate, so in-process fallback lies.
+    # The free HBM on this shared chip varies between rounds (batch 64 ran
+    # in r1, OOMs sometimes in r2); reference per-GPU batch is 96
+    # (SPMM_pretrain.py:16).
+    for bs in (64, 32, 16):
+        try:
+            with tempfile.TemporaryFile(mode="w+") as out:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pretrain-only"],
+                    stdout=out, stderr=subprocess.DEVNULL,
+                    env={**os.environ, "SPMM_PRETRAIN_BATCH": str(bs)},
+                    timeout=PRETRAIN_TIMEOUT_S)
+                out.seek(0)
+                lines = [ln for ln in out.read().splitlines() if ln.strip()]
+            if r.returncode == 0 and lines and lines[-1].startswith("{"):
+                pretrain_line = lines[-1]
+                break
+            print(f"pretrain bench at batch {bs}: rc={r.returncode}",
                   file=sys.stderr)
-    except Exception as e:
-        print(f"pretrain bench unavailable: {e}", file=sys.stderr)
+        except Exception as e:
+            print(f"pretrain bench at batch {bs}: {type(e).__name__}",
+                  file=sys.stderr)
+
+    value = bench_spmm_tpu()
+    if pretrain_line:
+        print(pretrain_line)
 
     baseline = None
     if os.path.exists(BASELINE_CACHE):

@@ -11,9 +11,9 @@ TPU-native replacement:
     query);
   - cross-attention K/V over the fixed encoder sequence computed ONCE per
     decode and reused every step;
-  - beam bookkeeping fully on-device inside a ``lax.while_loop`` with a
-    fixed-capacity finished-beam buffer (no host syncs until the final
-    result), vmap-able over molecules.
+  - beam bookkeeping fully on-device inside ``lax.while_loop`` segments (no
+    host syncs until the final result), natively batched over molecules with
+    an append-only cache + ancestry indirection (see beam_search_batched).
 
 Beam semantics replicate the reference exactly (d_pv2smiles_single.py:79-110,
 d_rxn_prediction.py:85-123):

@@ -3,8 +3,9 @@
 Two workloads over the same device kernel:
   - single-query: one (possibly partially masked) property vector; draw
     ``n_generate`` independent stochastic (or deterministic) k-beam searches
-    (reference d_pv2smiles_single.py:55-111).  TPU: the searches are
-    vmap-batched — hundreds of beam searches run as one XLA program.
+    (reference d_pv2smiles_single.py:55-111).  TPU: the searches are batched
+    natively — hundreds of beam searches run as one XLA program, optionally
+    sharded over a dp mesh.
   - batched/file mode: one PV per input molecule, NO property masking,
     deterministic k-beam with stop_count=k (reference d_pv2smiles_batched.py:
     17-59; note its k**1 stop vs the single-query k**2).

@@ -3,8 +3,8 @@
 Forward/retro synthesis share one model; decoding is either batch greedy
 (n_beam=1) or per-sample k-beam (n_beam>1, stop_count=k**2).  Both run on the
 KV-cached device kernels; the greedy path batches whole eval sets where the
-reference decodes 32 molecules per Python loop, and the beam path vmaps many
-molecules at once where the reference does batch_size=1.
+reference decodes 32 molecules per Python loop, and the beam path batches
+many molecules in one program where the reference does batch_size=1.
 """
 
 from __future__ import annotations
