@@ -148,8 +148,11 @@ def bench_pretrain() -> dict:
                               bf16_moments=True)
         text_cfg, prop_cfg = text_config(), property_config()
         mesh = data_parallel_mesh(1)
-        state = init_pretrain_state(jax.random.PRNGKey(0), pcfg, text_cfg,
-                                    prop_cfg)
+        # jit the whole init: eager init dispatches thousands of tiny ops,
+        # each a remote round-trip on axon (measured ~7 min of setup)
+        state = jax.jit(init_pretrain_state,
+                        static_argnums=(1, 2, 3))(
+            jax.random.PRNGKey(0), pcfg, text_cfg, prop_cfg)
         from jax.sharding import NamedSharding, PartitionSpec
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch=1000,

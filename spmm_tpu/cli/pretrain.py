@@ -73,7 +73,10 @@ def main(argv=None):
                           queue_size=args.queue_size,
                           bf16_compute=args.bf16, remat=args.remat,
                           bf16_moments=args.bf16_moments, zero1=args.zero1)
-    state = init_pretrain_state(jax.random.PRNGKey(seed), pcfg)
+    # jit the init: eager init dispatches thousands of tiny ops, each a
+    # remote round-trip on the axon runtime (~minutes of setup)
+    state = jax.jit(init_pretrain_state, static_argnums=(1,))(
+        jax.random.PRNGKey(seed), pcfg)
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print("resumed at step", int(state["step"]))
