@@ -85,6 +85,23 @@ def init_beam_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _pin_cache_layout(cache: Params) -> Params:
+    """Pin the beam cache to row-major layout (head_dim minor).
+
+    XLA's layout assignment flips larger-T carried caches to a T-minor tiled
+    layout (preferring the joint (l, t)-contracting attention einsum), which
+    turns every position write into a full-buffer read-modify-write —
+    profiled at 2.6 ms per dynamic_update_slice at T=102 (the whole 240MB
+    buffer) vs ~0.05 ms with the natural d-minor layout."""
+    try:
+        from jax.experimental.layout import Layout, with_layout_constraint
+    except ImportError:            # older jax: no pinning, still correct
+        return cache
+    return jax.tree.map(
+        lambda c: with_layout_constraint(
+            c, Layout(major_to_minor=tuple(range(c.ndim)))), cache)
+
+
 def _ancestry_mask(anc: jnp.ndarray, key_valid: jnp.ndarray) -> jnp.ndarray:
     """Additive mask [m, 1, k(beam), k(lane), T] selecting ancestor lanes.
 
@@ -140,7 +157,12 @@ def _beam_attention(
     p = e / e.sum(axis=-1, keepdims=True)
     p_pre = p[..., :-1].reshape(s.shape).astype(v6.dtype)
     p_self = p[..., -1].astype(v_self.dtype)
-    ctx = jnp.einsum("mhqlt,mhltd->mhqd", p_pre, v6)
+    # contract t ONLY, with l as a batch dim, then reduce over l: a joint
+    # (l, t) contraction makes XLA prefer a t-minor layout for the carried
+    # cache (position writes become full-buffer RMW) or, once the layout is
+    # pinned d-minor, insert a 20MB layout-conversion copy per layer per
+    # step; batching l keeps the rhs in the exact greedy-attention form
+    ctx = jnp.einsum("mhqlt,mhltd->mhlqd", p_pre, v6).sum(axis=2)
     return ctx + p_self[..., None] * v_self
 
 
@@ -370,7 +392,8 @@ def beam_search_batched(
     seg_ends.append(spec.max_steps)
 
     cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden)
-    cache = init_beam_cache(cfg, m, k, seg_ends[0] + 2, cache_dtype)
+    cache = _pin_cache_layout(
+        init_beam_cache(cfg, m, k, seg_ends[0] + 2, cache_dtype))
 
     # ancestry matrix: anc[m, b, t] = physical cache lane holding beam b's
     # K/V for position t.  The cache itself is append-only (each step writes
@@ -470,7 +493,7 @@ def beam_search_batched(
             return (step + 1,
                     jnp.logical_or(done, new_fin_cnt >= spec.stop_count),
                     keep(new_seqs, seqs), keep(new_logp, logp),
-                    new_anc, new_cache,
+                    new_anc, _pin_cache_layout(new_cache),
                     keep(new_fin_seqs, fin_seqs),
                     keep(new_fin_logp, fin_logp),
                     keep(new_fin_len, fin_len), keep(new_fin_cnt, fin_cnt))
@@ -484,9 +507,9 @@ def beam_search_batched(
         T_seg = seg_end + 2
         if T_seg != prev_T:                 # grow the cache for this segment
             cache = state[5]
-            cache = jax.tree.map(
+            cache = _pin_cache_layout(jax.tree.map(
                 lambda c: jnp.pad(
-                    c, [(0, 0)] * 4 + [(0, T_seg - prev_T), (0, 0)]), cache)
+                    c, [(0, 0)] * 4 + [(0, T_seg - prev_T), (0, 0)]), cache))
             state = state[:5] + (cache,) + state[6:]
             prev_T = T_seg
         cond, body = make_segment(seg_end, T_seg)
