@@ -66,6 +66,18 @@ def init_self_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def init_beam_cache_kv(
+    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Beam-search KV cache as ONE array [2(kv), L, m, h, k, T, D] so the
+    deferred per-step append is a single dynamic_update_slice (each DUS
+    carries ~0.5 ms of strided-write overhead at these shapes regardless of
+    slab size).  Layout/befits otherwise identical to init_beam_cache."""
+    shape = (2, cfg.num_hidden_layers, m, cfg.num_attention_heads, k,
+             max_len, cfg.head_dim)
+    return jnp.zeros(shape, dtype)
+
+
 def init_beam_cache(
     cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32
 ) -> Params:
@@ -240,7 +252,11 @@ def decode_step(
         self_mask = ((1.0 - key_valid.astype(jnp.float32))
                      * MASK_VALUE)[:, None, None, :]
 
-    new_cache_k, new_cache_v = cache["k"], cache["v"]
+    if anc is not None:
+        new_cache_kv = cache                  # [2, L, m, h, k, T, D] array
+        new_cache_k = new_cache_v = None
+    else:
+        new_cache_k, new_cache_v = cache["k"], cache["v"]
     for i in range(cfg.num_hidden_layers):
         lp = params_mlm["bert"]["layers"][i]
         sp = lp["self_attn"]
@@ -255,8 +271,8 @@ def decode_step(
             v_slabs.append(v_m)
             q_m = q.reshape(m, kb, h, d).transpose(0, 2, 1, 3)  # [m, h, k, D]
             ctx = _beam_attention(
-                q_m, new_cache_k[i].astype(q.dtype),
-                new_cache_v[i].astype(q.dtype), self_mask,
+                q_m, new_cache_kv[0, i].astype(q.dtype),
+                new_cache_kv[1, i].astype(q.dtype), self_mask,
                 k_m, v_m)                                       # [m, h, k, D]
             ctx = ctx.transpose(0, 2, 1, 3).reshape(m * kb, h, 1, d)
         else:
@@ -291,17 +307,17 @@ def decode_step(
             hidden = jbert.layer_norm(cp["ln"], attx + hidden, cfg.layer_norm_eps)
         hidden = jbert.mlp_block(lp["mlp"], cfg, hidden)
 
-    if anc is not None:
-        # one batched write per tensor for all layers' (pos) K/V
-        k_stack = jnp.stack(k_slabs)[:, :, :, :, None, :]  # [L, m, h, k, 1, D]
-        v_stack = jnp.stack(v_slabs)[:, :, :, :, None, :]
-        new_cache_k = jax.lax.dynamic_update_slice(
-            new_cache_k, k_stack.astype(new_cache_k.dtype), (0, 0, 0, 0, pos, 0))
-        new_cache_v = jax.lax.dynamic_update_slice(
-            new_cache_v, v_stack.astype(new_cache_v.dtype), (0, 0, 0, 0, pos, 0))
-
     logits = jbert.mlm_head_forward(params_mlm["mlm_head"], cfg, hidden)
-    cache = {"k": new_cache_k, "v": new_cache_v}
+    if anc is not None:
+        # ONE batched write for all layers' K and V at pos
+        kv_stack = jnp.stack(
+            [jnp.stack(k_slabs), jnp.stack(v_slabs)]
+        )[:, :, :, :, :, None, :]             # [2, L, m, h, k, 1, D]
+        cache = jax.lax.dynamic_update_slice(
+            new_cache_kv, kv_stack.astype(new_cache_kv.dtype),
+            (0, 0, 0, 0, 0, pos, 0))
+    else:
+        cache = {"k": new_cache_k, "v": new_cache_v}
     return logits[:, 0, :], cache
 
 
@@ -393,7 +409,7 @@ def beam_search_batched(
 
     cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden)
     cache = _pin_cache_layout(
-        init_beam_cache(cfg, m, k, seg_ends[0] + 2, cache_dtype))
+        init_beam_cache_kv(cfg, m, k, seg_ends[0] + 2, cache_dtype))
 
     # ancestry matrix: anc[m, b, t] = physical cache lane holding beam b's
     # K/V for position t.  The cache itself is append-only (each step writes
@@ -507,9 +523,8 @@ def beam_search_batched(
         T_seg = seg_end + 2
         if T_seg != prev_T:                 # grow the cache for this segment
             cache = state[5]
-            cache = _pin_cache_layout(jax.tree.map(
-                lambda c: jnp.pad(
-                    c, [(0, 0)] * 4 + [(0, T_seg - prev_T), (0, 0)]), cache))
+            cache = _pin_cache_layout(jnp.pad(
+                cache, [(0, 0)] * 5 + [(0, T_seg - prev_T), (0, 0)]))
             state = state[:5] + (cache,) + state[6:]
             prev_T = T_seg
         cond, body = make_segment(seg_end, T_seg)
