@@ -234,8 +234,9 @@ def torch_reference_beam(torch, model, prop_embeds, k, stop_count, max_steps=100
 
 
 @requires_reference
+@pytest.mark.parametrize("k", [2, 3])
 @pytest.mark.parametrize("stop_count_mode", ["k2", "k1"])
-def test_beam_parity(ref, torch, tiny_cfg, stop_count_mode):
+def test_beam_parity(ref, torch, tiny_cfg, stop_count_mode, k):
     model = make_ref_mlm(ref, torch, tiny_cfg, seed=7)
     with torch.no_grad():
         # bias [SEP] into the top-k so beams actually finish on random weights
@@ -246,7 +247,6 @@ def test_beam_parity(ref, torch, tiny_cfg, stop_count_mode):
 
     g = torch.Generator().manual_seed(11)
     prop_embeds = torch.randn(1, 6, tiny_cfg.hidden_size, generator=g)
-    k = 2
     stop = k * k if stop_count_mode == "k2" else k
 
     want = torch_reference_beam(torch, model, prop_embeds, k, stop)
