@@ -149,7 +149,7 @@ def generate_batched(
     k: int = 2,
     stochastic: bool = False,
     seed: int = 0,
-    device_batch: int = 64,
+    device_batch: int = 128,   # v5e throughput sweet spot (bench.py sweep)
     mesh=None,
 ) -> list[str]:
     """File-mode workload: one deterministic k-beam per molecule,
