@@ -49,6 +49,11 @@ def main(argv=None):
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state + EMA over the dp mesh "
                         "(ZeRO-1; params stay replicated)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step "
+                        "(activation peak scales with batch/accum; in-batch "
+                        "negatives become microbatch-local, = reference DDP "
+                        "semantics on accum-fold more ranks)")
     p.add_argument("--donate", action="store_true",
                    help="donate state buffers (~2GB HBM; broken on the axon "
                         "remote runtime)")
@@ -93,13 +98,15 @@ def main(argv=None):
     # execution time on the axon remote-TPU runtime; enable it on standard
     # PJRT TPU runtimes via --donate
     step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch,
-                                 donate=args.donate)
+                                 donate=args.donate, accum=args.accum)
     rng = jax.random.PRNGKey(seed + 1)
     logger = MetricLogger(args.metrics_log
                           or f"{args.output_dir}/metrics.jsonl")
 
-    compiled = None          # compile once; reuse the executable for its
-    flops_per_step = None    # cost analysis (MFU) without a second compile
+    compiled = {}            # AOT executable per batch ids.shape: bucket
+    flops_per_step = None    # padding produces several shapes per epoch, and
+                             # an AOT executable rejects any other shape; the
+                             # cost analysis (MFU) reuses the first executable
     losses = []
     t0 = time.time()
     for epoch in range(args.epochs):
@@ -108,10 +115,13 @@ def main(argv=None):
         for b in batches:
             batch = {k: jnp.asarray(v) for k, v in b.items()}
             step_rng = jax.random.fold_in(rng, int(state["step"]))
-            if compiled is None:
-                compiled = step_fn.lower(state, batch, step_rng).compile()
-                flops_per_step = compiled_flops(compiled)
-            state, metrics = compiled(state, batch, step_rng)
+            shape_key = batch["ids"].shape
+            if shape_key not in compiled:
+                compiled[shape_key] = step_fn.lower(
+                    state, batch, step_rng).compile()
+                if flops_per_step is None:
+                    flops_per_step = compiled_flops(compiled[shape_key])
+            state, metrics = compiled[shape_key](state, batch, step_rng)
             step = int(state["step"])
             losses.append([float(metrics[k]) for k in
                            ("loss_mlm", "loss_mpm", "loss_ita", "loss_itm")])

@@ -21,6 +21,7 @@ from spmm_tpu.chem.featurizer import (
 from spmm_tpu.cli._common import load_stats, make_tokenizer, seed_everything
 from spmm_tpu.data.datasets import PretrainDataset
 from spmm_tpu.inference.pv2smiles import generate_batched
+from spmm_tpu.parallel.mesh import auto_mesh
 
 
 def novelty(valids, corpus_path):
@@ -94,11 +95,17 @@ def main(argv=None):
         pvs.append(pv)
         sources.append(text.replace("[CLS]", ""))
 
+    mesh = auto_mesh()                 # all visible chips, no flag needed
+    device_batch = 128
+    if mesh is not None:
+        device_batch += -device_batch % mesh.devices.size
+        print(f"data-parallel over {mesh.devices.size} devices")
     print(f"PV-to-SMILES generation in "
           f"{'stochastic' if args.stochastic else 'deterministic'} manner "
           f"with k={args.k}...")
     cands = generate_batched(params, tok, np.stack(pvs), k=args.k,
-                             stochastic=args.stochastic, seed=seed)
+                             stochastic=args.stochastic, seed=seed,
+                             device_batch=device_batch, mesh=mesh)
     metric_eval(sources, cands, stats, args.output_file,
                 novelty_corpus=args.novelty_corpus)
 

@@ -20,6 +20,7 @@ from spmm_tpu.chem.featurizer import HAS_RDKIT, calculate_property, canonicalize
 from spmm_tpu.chem.featurizer import is_valid_smiles
 from spmm_tpu.cli._common import load_stats, make_tokenizer, seed_everything
 from spmm_tpu.inference.pv2smiles import generate_with_property
+from spmm_tpu.parallel.mesh import auto_mesh
 
 
 def read_condition(path: str, stats):
@@ -89,12 +90,18 @@ def main(argv=None):
     pv_norm = stats.normalize(prop_input)
     # masked entries carry the learned mask vector; their values are unused
 
+    mesh = auto_mesh()                 # all visible chips, no flag needed
+    device_batch = 128
+    if mesh is not None:
+        device_batch += -device_batch % mesh.devices.size
+        print(f"data-parallel over {mesh.devices.size} devices")
     print(f"PV-to-SMILES generation in "
           f"{'stochastic' if args.stochastic else 'deterministic'} manner "
           f"with k={args.k}...")
     samples = generate_with_property(
         params, tok, pv_norm, prop_mask, n_generate=args.n_generate,
-        k=args.k, stochastic=args.stochastic, seed=seed)
+        k=args.k, stochastic=args.stochastic, seed=seed,
+        device_batch=device_batch, mesh=mesh)
     metric_eval(prop_input, samples, prop_mask, stats, args.output_file)
 
 

@@ -26,6 +26,7 @@ from spmm_tpu.data.datasets import USPTODataset, USPTORetroDataset
 from spmm_tpu.data.pipeline import batch_pairs, prefetch
 from spmm_tpu.inference.rxn import predict_beam, predict_greedy
 from spmm_tpu.models.rxn import init_rxn_params, load_encoder_from_pretrain
+from spmm_tpu.parallel.mesh import auto_mesh
 from spmm_tpu.training.finetune import make_rxn_step
 
 
@@ -45,7 +46,7 @@ def metric_eval(refs: list[str], cands) -> float:
     return correct / max(len(refs), 1)
 
 
-def evaluate(params, tok, dataset, n_beam: int, batch_size: int):
+def evaluate(params, tok, dataset, n_beam: int, batch_size: int, mesh=None):
     sources = []
     refs = []
     for i in range(len(dataset)):
@@ -53,10 +54,14 @@ def evaluate(params, tok, dataset, n_beam: int, batch_size: int):
         sources.append(src.replace("[CLS]", ""))
         refs.append(tgt.replace("[CLS]", ""))
     if n_beam == 1:
-        cands = predict_greedy(params, tok, sources, batch_size=batch_size)
+        cands = predict_greedy(params, tok, sources, batch_size=batch_size,
+                               mesh=mesh)
     else:
+        # batched beam kernel decodes the whole batch in one program — no
+        # reason to inherit the reference's batch-1 beam eval
+        # (d_rxn_prediction.py:85-123)
         cands = predict_beam(params, tok, sources, k=n_beam,
-                             batch_size=batch_size)
+                             batch_size=batch_size, mesh=mesh)
     return metric_eval(refs, cands)
 
 
@@ -72,6 +77,10 @@ def main(argv=None):
     p.add_argument("--min_lr", type=float, default=5e-6)
     p.add_argument("--epoch", type=int, default=300)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size_eval", type=int, default=32,
+                   help="decode batch for greedy AND beam eval (the "
+                        "reference forces batch 1 for beam; the batched "
+                        "beam kernel has no such constraint)")
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -110,7 +119,12 @@ def main(argv=None):
     tx, step = make_rxn_step(fcfg, steps_per_epoch, decoder_cfg, encoder_cfg)
     opt_state = tx.init(params)
 
-    eval_bs = 1 if args.n_beam != 1 else 32
+    mesh = auto_mesh()                 # all visible chips, no flag needed
+    eval_bs = args.batch_size_eval
+    if mesh is not None:
+        eval_bs += -eval_bs % mesh.devices.size
+        print(f"eval data-parallel over {mesh.devices.size} devices "
+              f"(batch {eval_bs})")
     best_valid, best_test = 0.0, 0.0
     global_step = 0
     t0 = time.time()
@@ -127,10 +141,10 @@ def main(argv=None):
                     jax.random.fold_in(jax.random.PRNGKey(seed), global_step))
                 global_step += 1
         print("VALIDATION")
-        val = evaluate(params, tok, valid_ds, args.n_beam, eval_bs)
+        val = evaluate(params, tok, valid_ds, args.n_beam, eval_bs, mesh)
         print("Accuracy:", val)
         print("TEST")
-        tst = evaluate(params, tok, test_ds, args.n_beam, eval_bs)
+        tst = evaluate(params, tok, test_ds, args.n_beam, eval_bs, mesh)
         print("Accuracy:", tst)
         if not args.evaluate and val >= best_valid:
             print("SAVING...", tst)

@@ -19,6 +19,7 @@ from spmm_tpu.chem.featurizer import HAS_RDKIT, canonicalize
 from spmm_tpu.cli._common import load_stats, make_tokenizer, seed_everything
 from spmm_tpu.data.datasets import PretrainDataset
 from spmm_tpu.inference.smiles2pv import predict_pv
+from spmm_tpu.parallel.mesh import auto_mesh
 from spmm_tpu.tokenizer import default_buckets
 
 
@@ -80,6 +81,11 @@ def main(argv=None):
     tok = make_tokenizer()
     stats = load_stats()
     params = load_spmm_params(args.checkpoint, with_pretrain_heads=False)
+    mesh = auto_mesh()                 # all visible chips, no flag needed
+    if mesh is not None:
+        args.batch_size += -args.batch_size % mesh.devices.size
+        print(f"data-parallel over {mesh.devices.size} devices "
+              f"(global batch {args.batch_size})")
 
     print("SMILES-to-PV generation...")
     if args.property_cache or HAS_RDKIT:
@@ -90,13 +96,15 @@ def main(argv=None):
             pv, text = ds[i]
             refs.append(pv)
             texts.append(text)
-        cand_denorm = pv_generate(params, tok, texts, stats, args.batch_size)
+        cand_denorm = pv_generate(params, tok, texts, stats,
+                                  args.batch_size, mesh=mesh)
         metric_eval(np.stack(refs), stats.normalize(cand_denorm), stats)
     else:
         with open(args.input_file) as f:
             smiles = [l.strip() for l in f if l.strip()]
         smiles = [canonicalize(s) or s for s in smiles]
-        cand_denorm = pv_generate(params, tok, smiles, stats, args.batch_size)
+        cand_denorm = pv_generate(params, tok, smiles, stats,
+                                  args.batch_size, mesh=mesh)
         print("RDKit unavailable and no property cache: skipping metrics")
 
     if args.output_file:

@@ -115,6 +115,8 @@ def generate_with_property(
     seed: int = 0,
     device_batch: int = 128,
     mesh=None,
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
 ) -> list[str]:
     """Single-query workload: n_generate beam searches over one condition.
     With ``mesh`` the per-call batch is sharded over its dp axis
@@ -136,7 +138,8 @@ def generate_with_property(
         if mesh is not None:
             params, (pv, mask, rngs) = _mesh_put(mesh, params,
                                                  (pv, mask, rngs))
-        result = jax.device_get(_beam_batch(params, pv, mask, rngs, spec))
+        result = jax.device_get(_beam_batch(params, pv, mask, rngs, spec,
+                                            text_cfg, prop_cfg))
         for i in range(n):
             out.append(_decode_beams(tok, result, i, k, stochastic, py_rng))
     return out
@@ -151,6 +154,8 @@ def generate_batched(
     seed: int = 0,
     device_batch: int = 128,   # v5e throughput sweet spot (bench.py sweep)
     mesh=None,
+    text_cfg: Optional[BertArchConfig] = None,
+    prop_cfg: Optional[BertArchConfig] = None,
 ) -> list[str]:
     """File-mode workload: one deterministic k-beam per molecule,
     stop_count=k, no property masking (reference d_pv2smiles_batched.py).
@@ -172,7 +177,8 @@ def generate_batched(
         rngs = jax.random.split(jax.random.fold_in(master, start), device_batch)
         if mesh is not None:
             params, (pv, rngs) = _mesh_put(mesh, params, (pv, rngs))
-        result = jax.device_get(_beam_batch(params, pv, None, rngs, spec))
+        result = jax.device_get(_beam_batch(params, pv, None, rngs, spec,
+                                            text_cfg, prop_cfg))
         for i in range(n):
             # batched mode always takes the best beam, even when sampling
             # stochastically (reference d_pv2smiles_batched.py:57 — the

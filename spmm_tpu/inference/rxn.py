@@ -81,14 +81,14 @@ def _truncate_at_sep(ids: np.ndarray, sep_id: int = 3) -> np.ndarray:
     return ids[: hits[0]] if len(hits) else ids
 
 
-def _pad_rows(ids: np.ndarray, mask: np.ndarray, n: int):
+def _pad_rows(ids: np.ndarray, mask: np.ndarray, n: int, cls_id: int = 2):
     """Pad the batch dim to n rows (pad rows decode garbage, dropped by the
     caller; required for a fixed sharded batch shape)."""
     if ids.shape[0] == n:
         return ids, mask
     pad = n - ids.shape[0]
     ids = np.pad(np.asarray(ids), [(0, pad), (0, 0)])
-    ids[-pad:, 0] = 2                       # [CLS] so pad rows stay well-formed
+    ids[-pad:, 0] = cls_id                  # [CLS] so pad rows stay well-formed
     return ids, np.pad(np.asarray(mask), [(0, pad), (0, 0)])
 
 
@@ -122,7 +122,7 @@ def predict_greedy(
         ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         if mesh is not None:
             ids, mask = _pad_rows(np.asarray(ids), np.asarray(mask),
-                                  batch_size)
+                                  batch_size, cls_id=tok.cls_token_id)
             params, (ids, mask) = _mesh_put(mesh, params, (ids, mask))
         res = jax.device_get(_greedy_batch(params, jnp.asarray(ids),
                                            jnp.asarray(mask)))
@@ -155,7 +155,8 @@ def predict_beam(
             ["[CLS]" + s for s in batch], max_len=max_src_len, truncation=False,
             buckets=(32, 64, 96, 128, max_src_len))
         n_rows = batch_size if mesh is not None else len(batch)
-        ids, mask = _pad_rows(np.asarray(ids), np.asarray(mask), n_rows)
+        ids, mask = _pad_rows(np.asarray(ids), np.asarray(mask), n_rows,
+                              cls_id=tok.cls_token_id)
         rngs = jax.random.split(jax.random.fold_in(master, start), n_rows)
         if mesh is not None:
             params, (ids, mask, rngs) = _mesh_put(mesh, params,

@@ -55,6 +55,14 @@ def predict_pv(
         input_ids=input_ids, attention_mask=attention_mask, mode="text",
         attention_impl=attention_impl)
 
+    # the SMILES hiddens are loop-invariant: compute every fusion layer's
+    # cross-attention K/V once instead of re-projecting text_embeds through
+    # the cross K/V dense layers on each of the 53 scan steps (~30-40% of
+    # the per-step fusion FLOPs)
+    from spmm_tpu.inference.decoding import precompute_cross_kv
+    cross_kv = precompute_cross_kv(params["text_encoder"], text_cfg,
+                                   text_embeds)
+
     b = input_ids.shape[0]
     h = text_cfg.hidden_size
     buf = jnp.zeros((b, n_properties + 1, h), jnp.float32)
@@ -75,7 +83,7 @@ def predict_pv(
             params["text_encoder"]["bert"], text_cfg,
             encoder_embeds=prop_embeds,
             attention_mask=pmask,
-            encoder_hidden_states=text_embeds,
+            cross_kv=cross_kv,
             encoder_attention_mask=attention_mask,
             is_decoder=True,
             mode="fusion",

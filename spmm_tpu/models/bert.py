@@ -225,6 +225,7 @@ def encoder_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     attention_impl: str = "xla",
+    cross_kv: Optional[Params] = None,
 ) -> jnp.ndarray:
     """Run the layer stack section selected by ``mode`` (reference xbert.py:537-618).
 
@@ -234,6 +235,11 @@ def encoder_forward(
     ``remat=True`` rematerializes each layer in the backward pass
     (reference gradient-checkpointing branch, xbert.py:583-605; here a real
     jax.checkpoint instead of unused plumbing).
+    ``cross_kv`` supplies precomputed cross-attention K/V per absolute layer
+    index ({"k": [L, B, h, Le, D], "v": ...}, see
+    spmm_tpu.inference.decoding.precompute_cross_kv) — used when the encoder
+    sequence is loop-invariant (decode loops) so its K/V projections are not
+    recomputed every step.
     """
     import functools
 
@@ -248,9 +254,12 @@ def encoder_forward(
             enc, xmask = encoder_hidden[j], additive_cross_mask[j]
         else:
             enc, xmask = encoder_hidden, additive_cross_mask
+        ckv = None
+        if cross_kv is not None and "cross_attn" in params["layers"][i]:
+            ckv = (cross_kv["k"][i], cross_kv["v"][i])
         hidden = fwd(
             params["layers"][i], cfg, hidden, additive_self_mask,
-            enc, xmask, deterministic, layer_rng,
+            enc, xmask, deterministic, layer_rng, cross_kv=ckv,
         )
     return hidden
 
@@ -275,6 +284,7 @@ def bert_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     attention_impl: str = "xla",
+    cross_kv: Optional[Params] = None,
 ) -> jnp.ndarray:
     """BertModel.forward equivalent (reference xbert.py:950-1091).
 
@@ -282,7 +292,10 @@ def bert_forward(
     be given; ``encoder_embeds`` bypasses the embedding layer (used by fusion
     passes over already-encoded hidden states, reference SPMM_models.py:137).
     ``encoder_hidden_states`` may be a list for round-robin multi-source
-    cross-attention.  Returns the last hidden state [B, L, H].
+    cross-attention.  ``cross_kv`` supplies precomputed per-layer cross K/V
+    instead of ``encoder_hidden_states`` (the cross projections are then
+    skipped — pass ``encoder_attention_mask`` alongside it).  Returns the
+    last hidden state [B, L, H].
     """
     if encoder_embeds is not None:
         hidden = encoder_embeds
@@ -306,7 +319,13 @@ def bert_forward(
         self_mask = extend_attention_mask(attention_mask, dtype=jnp.float32)
 
     cross_mask = None
-    if encoder_hidden_states is not None:
+    if cross_kv is not None and encoder_hidden_states is None:
+        if encoder_attention_mask is None:
+            encoder_attention_mask = jnp.ones(
+                (b, cross_kv["k"].shape[-2]), dtype=jnp.int32)
+        cross_mask = invert_encoder_mask(encoder_attention_mask,
+                                         dtype=jnp.float32)
+    elif encoder_hidden_states is not None:
         if isinstance(encoder_hidden_states, (list, tuple)):
             if encoder_attention_mask is None:
                 encoder_attention_mask = [
@@ -325,7 +344,7 @@ def bert_forward(
     return encoder_forward(
         params, cfg, hidden, self_mask,
         encoder_hidden_states, cross_mask, mode, deterministic, rng,
-        remat=remat, attention_impl=attention_impl,
+        remat=remat, attention_impl=attention_impl, cross_kv=cross_kv,
     )
 
 

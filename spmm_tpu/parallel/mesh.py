@@ -34,3 +34,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DP_AXIS))
+
+
+def auto_mesh() -> Optional[Mesh]:
+    """Data-parallel mesh over every visible device, or None on one device.
+
+    Inference CLIs call this so a v5e-8 is picked up with no flag (the north
+    star throughput is per v5e-8, BASELINE.md) while single-chip runs keep
+    the unsharded fast path.  The reference has no multi-device inference at
+    all (every d_*.py runs 1 GPU, SURVEY §6).
+    """
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return data_parallel_mesh(devices=devices)

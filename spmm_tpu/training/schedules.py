@@ -202,7 +202,11 @@ class TanhSchedule(_TimmSchedule):
     """timm hyperbolic-tangent decay (reference scheduler/tanh_lr.py:18-120)."""
 
     def _warmup_target(self) -> float:
-        return self._decay_lr(self.warmup_t)  # tanh_lr.py:64-65
+        # reference tanh_lr.py:64-65: t_v = base_values when warmup_prefix
+        # else the decayed value at warmup_t
+        if self.warmup_prefix:
+            return self.base_lr
+        return self._decay_lr(self.warmup_t)
 
     t_initial: int = 1
     lb: float = -6.0

@@ -108,3 +108,47 @@ def test_predict_pv_sharded_matches_single(tiny_cfg, mesh):
         jax.device_put(mask, batch_sharding(mesh)),
         text_cfg=tiny_cfg, prop_cfg=prop_cfg, n_properties=5))
     np.testing.assert_allclose(sharded, single, atol=1e-5, rtol=0)
+
+
+def test_auto_mesh_picks_up_all_devices():
+    """auto_mesh must build a dp mesh over every visible device with no flag
+    (the inference CLIs rely on it; north star is per v5e-8, BASELINE.md)."""
+    from spmm_tpu.parallel.mesh import auto_mesh
+
+    mesh = auto_mesh()
+    assert mesh is not None and mesh.devices.size == len(jax.devices())
+
+
+def test_generate_with_property_auto_mesh_smoke(tiny_cfg):
+    """CLI-path smoke: the exact wrapper the pv2smiles CLIs call, with the
+    auto-constructed mesh, batch padding, and host-side beam picking."""
+    from spmm_tpu.inference.pv2smiles import (
+        generate_batched, generate_with_property,
+    )
+    from spmm_tpu.models.spmm import init_spmm_params
+    from spmm_tpu.parallel.mesh import auto_mesh
+    from spmm_tpu.tokenizer import SmilesTokenizer
+
+    prop_cfg = BertArchConfig(
+        **{**TINY, "vocab_size": 1, "num_hidden_layers": 2},
+        add_cross_attention=False)
+    params = init_spmm_params(jax.random.PRNGKey(11), text_cfg=tiny_cfg,
+                              prop_cfg=prop_cfg, with_pretrain_heads=True)
+    # bias SEP so beams finish fast
+    te = params["text_encoder"]
+    te["mlm_head"]["decoder"]["b"] = (
+        te["mlm_head"]["decoder"]["b"].at[3].add(2.0))
+    tok = SmilesTokenizer()
+    mesh = auto_mesh()
+    assert mesh is not None
+
+    out = generate_with_property(
+        params, tok, np.zeros(53, np.float32), np.ones(53, np.float32),
+        n_generate=10, k=2, stochastic=True, seed=0, device_batch=16,
+        mesh=mesh, text_cfg=tiny_cfg, prop_cfg=prop_cfg)
+    assert len(out) == 10 and all(isinstance(s, str) for s in out)
+
+    pvs = np.random.default_rng(0).normal(size=(10, 53)).astype(np.float32)
+    out = generate_batched(params, tok, pvs, k=2, seed=0, device_batch=16,
+                           mesh=mesh, text_cfg=tiny_cfg, prop_cfg=prop_cfg)
+    assert len(out) == 10 and all(isinstance(s, str) for s in out)
