@@ -60,41 +60,32 @@ def init_self_cache(
     # layer-major layout [L, B, h, T, D]: per-layer slices are contiguous
     # (the attention working set each step), and the cache is append-only —
     # beam search never physically reorders it (ancestry indirection resolves
-    # the beam shuffle at attention time, see _ancestor_attention)
+    # the beam shuffle at attention time, see _beam_attention)
     shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
              max_len, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def init_beam_cache_kv(
-    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32
+    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32,
+    head_dim: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Beam-search KV cache as ONE array [2(kv), L, m, h, k, T, D] so the
-    deferred per-step append is a single dynamic_update_slice (each DUS
-    carries ~0.5 ms of strided-write overhead at these shapes regardless of
-    slab size).  Layout/befits otherwise identical to init_beam_cache."""
-    shape = (2, cfg.num_hidden_layers, m, cfg.num_attention_heads, k,
-             max_len, cfg.head_dim)
-    return jnp.zeros(shape, dtype)
+    """Beam-search KV cache as ONE array [2(kv), L, m, h, k, T, D].
 
-
-def init_beam_cache(
-    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32
-) -> Params:
-    """Beam-search KV cache [L, m, h, k, T, D].
-
-    Heads precede lanes so each layer's slice feeds _beam_attention directly
-    (batch dims m,h adjacent-leading, contraction over (lane, position) — no
-    transposes, no retiling reshapes), with beam ancestry folded into the
-    additive mask (see _ancestry_mask).  The cache is append-only: beam
-    search never physically reorders it — the old per-token full-cache
-    gather (read+write of the whole buffer at ~30 GB/s effective gather
-    speed on v5e) is replaced by a cheap [m, k, T] int32 ancestry
-    permutation.
+    One array so the deferred per-step append is a single
+    dynamic_update_slice (each DUS carries ~0.5 ms of strided-write overhead
+    at these shapes regardless of slab size).  Heads precede lanes so each
+    layer's slice feeds _beam_attention directly (batch dims m,h
+    adjacent-leading, contraction over (lane, position) — no transposes, no
+    retiling reshapes), with beam ancestry folded into the additive mask
+    (see _ancestry_mask).  The cache is append-only: beam search never
+    physically reorders it — the old per-token full-cache gather (read+write
+    of the whole buffer at ~30 GB/s effective gather speed on v5e) is
+    replaced by a cheap [m, k, T] int32 ancestry permutation.
     """
-    shape = (cfg.num_hidden_layers, m, cfg.num_attention_heads, k,
-             max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (2, cfg.num_hidden_layers, m, cfg.num_attention_heads, k,
+             max_len, head_dim or cfg.head_dim)
+    return jnp.zeros(shape, dtype)
 
 
 def _pin_cache_layout(cache: Params) -> Params:
@@ -178,6 +169,24 @@ def _beam_attention(
     return ctx + p_self[..., None] * v_self
 
 
+def _pallas_beam_attention(q_m, k_m, v_m, cache, self_mask, pos, layer):
+    """Call the fused Pallas kernel (ops/decode_attention.py) for one layer.
+
+    Interpret mode off-TPU keeps the single code path testable on the CPU
+    mesh; block_m is the largest power-of-two divisor of m up to 8 (VMEM
+    slab sizing)."""
+    from spmm_tpu.ops.decode_attention import beam_decode_attention
+
+    m = q_m.shape[0]
+    block_m = next(b for b in (8, 4, 2, 1) if m % b == 0)
+    interpret = jax.default_backend() != "tpu"
+    return beam_decode_attention(
+        q_m.astype(cache.dtype), k_m.astype(cache.dtype),
+        v_m.astype(cache.dtype), cache,
+        self_mask[:, 0].astype(jnp.float32), pos, layer=layer,
+        block_m=block_m, interpret=interpret)
+
+
 def precompute_cross_kv(
     params_mlm: Params,
     cfg: BertArchConfig,
@@ -213,6 +222,7 @@ def decode_step(
     cross_kv: Optional[Params],  # from precompute_cross_kv (or None)
     cross_mask: Optional[jnp.ndarray],  # [B or m, Le] binary (or None)
     anc: Optional[jnp.ndarray] = None,  # [m, k, T] beam ancestry (or None)
+    pallas: bool = False,        # fused cache-append+attention kernel (beam)
 ) -> tuple[jnp.ndarray, Params]:
     """One cached decoder step; returns (logits [B, V], updated cache).
 
@@ -224,7 +234,7 @@ def decode_step(
       - greedy (``anc=None``): B independent rows; cache [L, B, h, T, D],
         cross_kv/cross_mask per row.
       - beam (``anc`` given, shape [m, k, T]): B = m*k lanes (beam-major
-        within molecule); cache [L, m, h, k, T, D] (init_beam_cache) whose k
+        within molecule); cache [2, L, m, h, k, T, D] (init_beam_cache_kv) whose k
         lanes act as extra key positions with the beam-ancestry indirection
         folded into the additive mask (_ancestry_mask); cross_kv/cross_mask
         are per *molecule* [L, m, h, Le, D] / [m, Le] — the k beams of a
@@ -267,13 +277,20 @@ def decode_step(
             d = q.shape[-1]
             k_m = k_new.reshape(m, kb, h, d).transpose(0, 2, 1, 3)
             v_m = v_new.reshape(m, kb, h, d).transpose(0, 2, 1, 3)
-            k_slabs.append(k_m)
-            v_slabs.append(v_m)
             q_m = q.reshape(m, kb, h, d).transpose(0, 2, 1, 3)  # [m, h, k, D]
-            ctx = _beam_attention(
-                q_m, new_cache_kv[0, i].astype(q.dtype),
-                new_cache_kv[1, i].astype(q.dtype), self_mask,
-                k_m, v_m)                                       # [m, h, k, D]
+            if pallas:
+                # fused kernel: appends k_m/v_m at pos IN PLACE (aliased
+                # cache) and attends over the ancestry-masked prefix — no
+                # dynamic_update_slice, no full-cache layout copies
+                ctx, new_cache_kv = _pallas_beam_attention(
+                    q_m, k_m, v_m, new_cache_kv, self_mask, pos, i)
+            else:
+                k_slabs.append(k_m)
+                v_slabs.append(v_m)
+                ctx = _beam_attention(
+                    q_m, new_cache_kv[0, i].astype(q.dtype),
+                    new_cache_kv[1, i].astype(q.dtype), self_mask,
+                    k_m, v_m)                                   # [m, h, k, D]
             ctx = ctx.transpose(0, 2, 1, 3).reshape(m * kb, h, 1, d)
         else:
             new_cache_k = jax.lax.dynamic_update_slice(
@@ -309,13 +326,16 @@ def decode_step(
 
     logits = jbert.mlm_head_forward(params_mlm["mlm_head"], cfg, hidden)
     if anc is not None:
-        # ONE batched write for all layers' K and V at pos
-        kv_stack = jnp.stack(
-            [jnp.stack(k_slabs), jnp.stack(v_slabs)]
-        )[:, :, :, :, :, None, :]             # [2, L, m, h, k, 1, D]
-        cache = jax.lax.dynamic_update_slice(
-            new_cache_kv, kv_stack.astype(new_cache_kv.dtype),
-            (0, 0, 0, 0, 0, pos, 0))
+        if pallas:
+            cache = new_cache_kv          # appended in place by the kernel
+        else:
+            # ONE batched write for all layers' K and V at pos
+            kv_stack = jnp.stack(
+                [jnp.stack(k_slabs), jnp.stack(v_slabs)]
+            )[:, :, :, :, :, None, :]         # [2, L, m, h, k, 1, D]
+            cache = jax.lax.dynamic_update_slice(
+                new_cache_kv, kv_stack.astype(new_cache_kv.dtype),
+                (0, 0, 0, 0, 0, pos, 0))
     else:
         cache = {"k": new_cache_k, "v": new_cache_v}
     return logits[:, 0, :], cache
@@ -335,11 +355,17 @@ class BeamSpec:
     cls_id: int = 2
     sep_id: int = 3
     vocab_size: int = 300
+    # "auto": fused Pallas decode-step kernel on TPU, XLA elsewhere;
+    # "xla"/"pallas" force a path (parity tests pin "xla")
+    attention: str = "auto"
 
     @property
     def max_len(self) -> int:
-        # [CLS] + seed token + max_steps appended tokens
-        return self.max_steps + 2
+        # [CLS] + seed token + max_steps appended tokens, rounded up to a
+        # multiple of 8: Mosaic requires DMA slice extents along the cache's
+        # sublane (T) dimension to be 8-aligned, and the padded tail is
+        # masked out everywhere (key_valid is position-driven)
+        return -8 * (-(self.max_steps + 2) // 8)
 
 
 def _sample_topk(logits, k, stochastic, rng):
@@ -392,6 +418,8 @@ def beam_search_batched(
     k, T = spec.k, spec.max_len
     if rngs is None:
         rngs = jax.random.split(jax.random.PRNGKey(0), m)
+    use_pallas = spec.attention == "pallas" or (
+        spec.attention == "auto" and jax.default_backend() == "tpu")
 
     # segmented cache growth: run the token loop in segments with a cache
     # sized for that segment only (T_seg = seg_end + 2), padding the cache at
@@ -407,25 +435,34 @@ def beam_search_batched(
         s *= 2
     seg_ends.append(spec.max_steps)
 
+    def seg_len(seg_end: int) -> int:       # 8-aligned cache length (max_len)
+        return min(-8 * (-(seg_end + 2) // 8), T)
+
     cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden)
+    # the pallas kernel needs the cache's minor (head) dim lane-tile aligned
+    # (128); the physical HBM buffer is lane-padded to 128 regardless, so
+    # the padding is free — see ops/decode_attention.py
+    dpad = (-128 * (-cfg.head_dim // 128)) if use_pallas else cfg.head_dim
     cache = _pin_cache_layout(
-        init_beam_cache_kv(cfg, m, k, seg_ends[0] + 2, cache_dtype))
+        init_beam_cache_kv(cfg, m, k, seg_len(seg_ends[0]), cache_dtype,
+                           head_dim=dpad))
 
     # ancestry matrix: anc[m, b, t] = physical cache lane holding beam b's
     # K/V for position t.  The cache itself is append-only (each step writes
     # lane b at the current position); the beam shuffle only permutes this
     # cheap [m, k, T] int32 matrix, and attention resolves it densely
-    # (_ancestor_attention) — no full-cache gather per token.
+    # (_beam_attention) — no full-cache gather per token.
     lane_ids = jnp.arange(k, dtype=jnp.int32)
     anc = jnp.broadcast_to(lane_ids[None, :, None], (m, k, T))
 
     # ---- step 0: [CLS] on every beam, sample k continuations ----
-    T0 = seg_ends[0] + 2
+    T0 = seg_len(seg_ends[0])
     seqs = jnp.zeros((m, k, T), jnp.int32).at[:, :, 0].set(spec.cls_id)
     key_valid = (seqs != 0)[:, :, :T0].reshape(m * k, T0).astype(jnp.int32)
     logits, cache = decode_step(
         params_mlm, cfg, seqs.reshape(m * k, T)[:, 0], jnp.int32(0), cache,
-        key_valid, cross_kv, cross_mask, anc=anc[:, :, :T0])
+        key_valid, cross_kv, cross_mask, anc=anc[:, :, :T0],
+        pallas=use_pallas)
     step_rngs = jax.vmap(lambda r: jax.random.fold_in(r, 0))(rngs)
     vals, idx = _sample_topk_batch(
         logits.reshape(m, k, -1)[:, 0], k, spec.stochastic, step_rngs)
@@ -460,7 +497,8 @@ def beam_search_batched(
                 m * k, T_seg).astype(jnp.int32)
             logits, new_cache = decode_step(
                 params_mlm, cfg, seqs.reshape(m * k, T)[:, pos], pos, cache,
-                key_valid, cross_kv, cross_mask, anc=anc[:, :, :T_seg])
+                key_valid, cross_kv, cross_mask, anc=anc[:, :, :T_seg],
+                pallas=use_pallas)
             step_rngs = jax.vmap(
                 lambda r: jax.random.fold_in(r, step + 1))(rngs)
             vals, idx = _sample_topk_batch(
@@ -518,9 +556,9 @@ def beam_search_batched(
 
     state = (jnp.int32(0), done, seqs, logp, anc, cache,
              fin_seqs, fin_logp, fin_len, fin_cnt)
-    prev_T = seg_ends[0] + 2
+    prev_T = seg_len(seg_ends[0])
     for seg_end in seg_ends:
-        T_seg = seg_end + 2
+        T_seg = seg_len(seg_end)
         if T_seg != prev_T:                 # grow the cache for this segment
             cache = state[5]
             cache = _pin_cache_layout(jnp.pad(

@@ -1,0 +1,95 @@
+"""Pallas fused beam-decode attention vs the XLA path (_beam_attention).
+
+Runs the kernel in interpret mode on CPU (tests/conftest.py mesh); the same
+code compiles for TPU.  The kernel must (a) produce the identical context
+vector as the XLA formulation and (b) append k_new/v_new into the cache at
+``pos`` in place, leaving every other position untouched.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.inference.decoding import _ancestry_mask, _beam_attention
+from spmm_tpu.ops.decode_attention import beam_decode_attention
+
+
+@pytest.mark.parametrize("k", [2, 5])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_kernel_matches_xla(k, dtype):
+    m, h, L, T, d = 4, 3, 2, 24, 64
+    layer, pos = 1, 11
+    rng = np.random.default_rng(0)
+
+    cache = jnp.asarray(rng.normal(size=(2, L, m, h, k, T, d)), dtype)
+    q = jnp.asarray(rng.normal(size=(m, h, k, d)), dtype)
+    kn = jnp.asarray(rng.normal(size=(m, h, k, d)), dtype)
+    vn = jnp.asarray(rng.normal(size=(m, h, k, d)), dtype)
+
+    # ancestry: random parents for written positions, own lane beyond
+    anc = jnp.asarray(rng.integers(0, k, size=(m, k, T)), jnp.int32)
+    key_valid = (jnp.arange(T)[None, None, :] <
+                 jnp.asarray(rng.integers(pos - 2, pos + 1, size=(m, k, 1))))
+    prefix_valid = key_valid & (jnp.arange(T)[None, None, :] < pos)
+    mask5 = _ancestry_mask(anc, prefix_valid.astype(jnp.int32))  # [m,1,k,k,T]
+
+    want_ctx = _beam_attention(
+        q, cache[0, layer], cache[1, layer], mask5, kn, vn)
+
+    ctx, new_cache = beam_decode_attention(
+        q, kn, vn, cache, mask5[:, 0].astype(jnp.float32),
+        jnp.int32(pos), layer=layer, block_m=2, interpret=True)
+
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(np.asarray(ctx, np.float32),
+                               np.asarray(want_ctx, np.float32),
+                               atol=tol, rtol=tol)
+
+    # cache updated exactly at (layer, pos); the aligned append window may
+    # rewrite rows pos+1..window-end with the (junk) values it read back, so
+    # only positions <= pos are required untouched
+    expect = np.asarray(cache).copy()
+    expect[0, layer, :, :, :, pos, :] = np.asarray(kn)
+    expect[1, layer, :, :, :, pos, :] = np.asarray(vn)
+    got_c = np.asarray(new_cache)
+    np.testing.assert_array_equal(got_c[:, :, :, :, :, : pos + 1],
+                                  expect[:, :, :, :, :, : pos + 1])
+    np.testing.assert_array_equal(got_c[:, : layer], expect[:, : layer])
+    np.testing.assert_array_equal(got_c[:, layer + 1:], expect[:, layer + 1:])
+
+
+def test_beam_search_pallas_matches_xla():
+    """Full beam_search_batched: attention='pallas' (interpret mode on CPU)
+    must reproduce the XLA path exactly — seqs, logp, harvest counts."""
+    import dataclasses
+
+    from spmm_tpu.configs import BertArchConfig
+    from spmm_tpu.inference.decoding import BeamSpec, beam_search_batched
+    from spmm_tpu.models import bert as jbert
+
+    cfg = BertArchConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2, fusion_layer=1,
+        encoder_width=64, add_cross_attention=True)
+    rng = jax.random.PRNGKey(0)
+    params = jbert.init_mlm_params(rng, cfg)
+    params["mlm_head"]["decoder"]["b"] = (
+        params["mlm_head"]["decoder"]["b"].at[3].add(2.0))
+    m = 4
+    enc = jax.random.normal(jax.random.fold_in(rng, 1), (m, 6, cfg.hidden_size))
+    enc_mask = jnp.ones((m, 6), jnp.int32)
+    rngs = jax.random.split(jax.random.fold_in(rng, 2), m)
+
+    spec = BeamSpec(k=2, stop_count=4, stochastic=False, max_steps=12,
+                    attention="xla")
+    f = jax.jit(beam_search_batched, static_argnames=("cfg", "spec"))
+    want = jax.device_get(f(params, cfg, enc, enc_mask, spec, rngs))
+    got = jax.device_get(f(params, cfg, enc, enc_mask,
+                           dataclasses.replace(spec, attention="pallas"),
+                           rngs))
+    np.testing.assert_array_equal(got["seqs"], want["seqs"])
+    np.testing.assert_allclose(got["logp"], want["logp"], atol=1e-5)
+    np.testing.assert_array_equal(got["n_finished"], want["n_finished"])

@@ -234,7 +234,9 @@ def torch_reference_beam(torch, model, prop_embeds, k, stop_count, max_steps=100
 
 
 @requires_reference
-@pytest.mark.parametrize("k", [2, 3])
+# k=5 is the rxn CLI default (reference d_rxn_prediction.py:70 n_beam=5,
+# stop_count k**2=25) — the widest operating point the CLIs ship with
+@pytest.mark.parametrize("k", [2, 3, 5])
 @pytest.mark.parametrize("stop_count_mode", ["k2", "k1"])
 def test_beam_parity(ref, torch, tiny_cfg, stop_count_mode, k):
     model = make_ref_mlm(ref, torch, tiny_cfg, seed=7)
