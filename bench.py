@@ -1,18 +1,34 @@
 """Headline benchmark: PV->SMILES k=2 beam-decode throughput (molecules/sec).
 
 Prints the headline JSON line LAST: {"metric", "value", "unit",
-"vs_baseline"}.  A secondary pretrain line (pretrain_samples_per_sec_chip,
-with an "mfu" key) is printed first when the full-size pretrain step bench
-succeeds within its subprocess budget (full-size TPU compiles take ~6 min on
-this machine and occasionally get SIGKILLed, so it must not take down the
-headline metric).
+"vs_baseline"}.  Secondary lines printed first when their sub-benches succeed:
+
+  - pretrain_samples_per_sec_chip (with "mfu"): full-size pretrain step in a
+    fresh subprocess (full-size TPU compiles take ~6 min here and occasionally
+    get SIGKILLed, so it must not take down the headline);
+  - pv2smiles_beam_k2_throughput_100step: the decode at the reference's REAL
+    length cap (reference d_pv2smiles_single.py:86 caps at 100 token steps;
+    the headline 60-step number is length-controlled against the cached torch
+    baseline, which was measured at 60 steps);
+  - host_pipeline_samples_per_sec (also via --pipeline-only, no TPU needed):
+    tokenizer+batching host throughput, which must exceed 8x the single-chip
+    pretrain step rate to keep a v5e-8 fed (the reference tokenizes inside
+    the train step — SPMM_models.py:353 — the anti-pattern replaced here).
+
+Every timed decode iteration perturbs its inputs: the axon runtime serves
+cached results for repeated identical inputs (NOTES.md), so timing the same
+arrays twice reads ~0 ms and lies.
+
+PENDING lines flag the two env-blocked validation gates (released-checkpoint
+golden parity, RDKit featurizer goldens) so the round either runs them or
+loudly records why not.
 
 The workload is the reference's primary perf surface (SURVEY §3.3 /
 BASELINE.md): batched PV->SMILES deterministic k=2 beam decode.  Both sides
-decode the SAME random-weight model for a fixed 60 token steps (no early
-termination), so the comparison is length-controlled:
+decode the SAME random-weight model for a fixed number of token steps (no
+early termination):
 
-  - spmm_tpu: vmapped on-device beam search with KV cache (one chip);
+  - spmm_tpu: on-device batched beam search with KV cache (one chip);
   - baseline: the reference's decode strategy — full-prefix re-forward per
     token with host-side beam bookkeeping, PyTorch CPU (xbert oracle).  The
     measured baseline is cached in bench_baseline.json so the bench also runs
@@ -34,39 +50,56 @@ DEVICE_BATCH = 128   # best measured throughput on one v5e chip (r2 sweep)
 MAX_STEPS = 60
 K = 2
 
+FULL_STEPS = 100        # the reference's actual decode cap
+FULL_STEPS_BATCH = 64   # measured best for the T=102 regime (r2)
+
 PRETRAIN_BATCH = 64
 PRETRAIN_TIMEOUT_S = 1500
 
+RELEASED_CKPT_CANDIDATES = (
+    "./checkpoint_SPMM.ckpt",
+    "/root/checkpoint_SPMM.ckpt",
+    "/root/repo/checkpoint_SPMM.ckpt",
+)
 
-def bench_spmm_tpu() -> float:
+
+def bench_spmm_tpu(max_steps: int = MAX_STEPS,
+                   device_batch: int = DEVICE_BATCH,
+                   n_molecules: int = N_MOLECULES) -> float:
     import jax
-    import jax.numpy as jnp
-    from spmm_tpu.configs import property_config, text_config
     from spmm_tpu.inference.decoding import BeamSpec
     from spmm_tpu.inference.pv2smiles import _beam_batch
     from spmm_tpu.models.spmm import init_spmm_params
 
     params = init_spmm_params(jax.random.PRNGKey(0), with_pretrain_heads=False)
-    # stop_count is unreachable: both sides decode the full MAX_STEPS tokens
-    spec = BeamSpec(k=K, stop_count=K * K * MAX_STEPS, stochastic=False,
-                    max_steps=MAX_STEPS)
-    rngs = jax.random.split(jax.random.PRNGKey(1), DEVICE_BATCH)
-    pv = jax.random.normal(jax.random.PRNGKey(2), (DEVICE_BATCH, 53))
+    # stop_count is unreachable: both sides decode the full max_steps tokens
+    spec = BeamSpec(k=K, stop_count=K * K * max_steps, stochastic=False,
+                    max_steps=max_steps)
 
-    # warmup / compile
-    out = _beam_batch(params, pv, None, rngs, spec)
+    def inputs(i: int):
+        # fresh pv/rngs per timed call: identical inputs are served from the
+        # axon runtime's result cache and time ~0 ms (NOTES.md)
+        key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+        k1, k2 = jax.random.split(key)
+        return (jax.random.normal(k1, (device_batch, 53)),
+                jax.random.split(k2, device_batch))
+
+    pv, rngs = inputs(0)
+    out = _beam_batch(params, pv, None, rngs, spec)   # warmup / compile
     jax.block_until_ready(out)
 
-    n_batches = max(N_MOLECULES // DEVICE_BATCH, 1)
+    n_batches = max(n_molecules // device_batch, 1)
+    batches = [inputs(i + 1) for i in range(n_batches)]
+    jax.block_until_ready(batches)
     t0 = time.perf_counter()
-    for i in range(n_batches):
+    for pv, rngs in batches:
         out = _beam_batch(params, pv, None, rngs, spec)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return n_batches * DEVICE_BATCH / dt
+    return n_batches * device_batch / dt
 
 
-def bench_torch_cpu_baseline() -> float:
+def bench_torch_cpu_baseline(max_steps: int = MAX_STEPS) -> float:
     """Reference decode strategy on torch CPU (xbert oracle)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "tests"))
@@ -103,7 +136,7 @@ def bench_torch_cpu_baseline() -> float:
         product_input = torch.cat(
             [torch.full((K, 1), 2), indices.squeeze(0).unsqueeze(-1)], dim=-1)
         current_p = values.squeeze(0)
-        for _ in range(MAX_STEPS):
+        for _ in range(max_steps):
             values, indices = gen(product_input)
             k2_p = current_p[:, None] + values
             product_input_k2 = torch.cat(
@@ -120,6 +153,56 @@ def bench_torch_cpu_baseline() -> float:
         decode_one()
     dt = time.perf_counter() - t0
     return n / dt
+
+
+def bench_pipeline() -> dict:
+    """Host-pipeline throughput: tokenize+bucket-pad+batch, no device.
+
+    A v5e-8 consumes 8x the single-chip pretrain step rate; the host pipeline
+    (native wordpiece tokenizer + property cache reads + numpy batching) must
+    sustain more than that or the chips starve.  Synthetic-but-realistic
+    SMILES corpus; property lookup simulated by a cached [N, 53] array, the
+    production path (PretrainDataset property_cache).
+    """
+    import numpy as np
+    from spmm_tpu.data.pipeline import batch_pretrain, prefetch
+    from spmm_tpu.tokenizer import SmilesTokenizer
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "examples", "s2p_input.txt")) as f:
+        seeds = [l.strip() for l in f if l.strip()]
+    rng = np.random.default_rng(0)
+    frags = ["C", "CC", "c1ccccc1", "C(=O)O", "N", "Cl", "CCO", "C1CCCCC1"]
+    corpus = []
+    for i in range(50_000):
+        s = seeds[i % len(seeds)]
+        corpus.append(s + "".join(rng.choice(frags)
+                                  for _ in range(int(rng.integers(0, 3)))))
+
+    class _DS:  # the PretrainDataset fast path: cached PV + raw text
+        pv = rng.normal(size=(len(corpus), 53)).astype(np.float32)
+
+        def __len__(self):
+            return len(corpus)
+
+        def __getitem__(self, i):
+            return self.pv[i], "[CLS]" + corpus[i]
+
+    tok = SmilesTokenizer()
+    bs = 96
+    n = 0
+    it = prefetch(batch_pretrain(tok, _DS(), bs, shuffle=True), depth=4)
+    t0 = time.perf_counter()
+    for b in it:
+        n += b["ids"].shape[0]
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "host_pipeline_samples_per_sec",
+        "value": round(n / dt, 1),
+        "unit": "samples/s",
+        "vs_baseline": None,
+        "native_tokenizer": tok._native is not None,
+    }
 
 
 def bench_pretrain() -> dict:
@@ -141,7 +224,7 @@ def bench_pretrain() -> dict:
 
     from spmm_tpu.utils.profiling import compiled_flops, mfu
 
-    def run_at_batch(bs):
+    def run_at_batch(bs, accum=1):
         # bf16 compute + remat + bf16 Adam mu mirror the reference's
         # fp16-AMP precision envelope and are the production perf config
         pcfg = PretrainConfig(batch_size=bs, bf16_compute=True, remat=True,
@@ -156,23 +239,30 @@ def bench_pretrain() -> dict:
         from jax.sharding import NamedSharding, PartitionSpec
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch=1000,
-                                     text_cfg=text_cfg, prop_cfg=prop_cfg)
+                                     text_cfg=text_cfg, prop_cfg=prop_cfg,
+                                     accum=accum)
         rng = jax.random.PRNGKey(1)
-        k1, k2 = jax.random.split(rng)
-        ids = jax.random.randint(k1, (bs, 100), 4, 300).at[:, 0].set(2)
-        batch = {"prop": jax.random.normal(k2, (bs, 53)), "ids": ids,
-                 "mask": jnp.ones((bs, 100), jnp.int32)}
+
+        def make_batch(i):
+            # fresh ids/prop per step (axon result cache, see bench_spmm_tpu)
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, 1000 + i))
+            ids = jax.random.randint(k1, (bs, 100), 4, 300).at[:, 0].set(2)
+            return {"prop": jax.random.normal(k2, (bs, 53)), "ids": ids,
+                    "mask": jnp.ones((bs, 100), jnp.int32)}
 
         # one executable for both the run and the flops estimate (a second
         # lower().compile() alongside the jit cache OOMs the chip)
+        batch = make_batch(0)
         compiled = step_fn.lower(state, batch, rng).compile()
         flops_per_step = compiled_flops(compiled)
         state, metrics = compiled(state, batch, rng)     # warmup
         jax.block_until_ready(state)
         n_steps = 10
+        batches = [make_batch(i + 1) for i in range(n_steps)]
+        jax.block_until_ready(batches)
         t0 = time.perf_counter()
         for i in range(n_steps):
-            state, metrics = compiled(state, batch,
+            state, metrics = compiled(state, batches[i],
                                       jax.random.fold_in(rng, i))
             # block each step: with donate=False (donation broken on axon)
             # async dispatch would hold many full state copies
@@ -182,7 +272,8 @@ def bench_pretrain() -> dict:
         return dt, flops_per_step
 
     bs = int(os.environ.get("SPMM_PRETRAIN_BATCH", PRETRAIN_BATCH))
-    dt, flops_per_step = run_at_batch(bs)
+    accum = int(os.environ.get("SPMM_PRETRAIN_ACCUM", "1"))
+    dt, flops_per_step = run_at_batch(bs, accum)
     util = mfu(flops_per_step, dt, n_chips=1)
     return {
         "metric": "pretrain_samples_per_sec_chip",
@@ -191,13 +282,74 @@ def bench_pretrain() -> dict:
         "vs_baseline": None,
         "mfu": round(util, 4) if util else None,
         "batch": bs,
+        "accum": accum,
     }
+
+
+def pending_gates() -> list[str]:
+    """Env-blocked validation gates: run them the moment the env allows,
+    otherwise print a loud PENDING notice (VERDICT r2 item 7)."""
+    notes = []
+    ckpt = next((p for p in RELEASED_CKPT_CANDIDATES if os.path.exists(p)),
+                None)
+    if ckpt is None:
+        notes.append(
+            "PENDING: env-blocked gate — released checkpoint_SPMM.ckpt "
+            "absent; when present run `python -m spmm_tpu.cli."
+            "convert_checkpoint --checkpoint <ckpt> --verify "
+            "examples/s2p_input.txt` (1e-4 golden parity, BASELINE.json "
+            "north star; reference load path d_smiles2pv.py:119-143)")
+    else:
+        notes.append(f"RUN NOW: released checkpoint found at {ckpt} — "
+                     "execute the convert_checkpoint --verify golden gate")
+    try:
+        import rdkit  # noqa: F401
+        notes.append("RUN NOW: RDKit present — run the pinned-value "
+                     "featurizer goldens (tests/test_chem.py)")
+    except ImportError:
+        notes.append(
+            "PENDING: env-blocked gate — RDKit absent; featurizer goldens "
+            "(reference calc_property.py:31-36, rdkit==2023.3.1) have never "
+            "executed in this image")
+    return notes
+
+
+def _load_baseline(key: str, max_steps: int):
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    if key in cache:
+        return cache[key]
+    try:
+        value = bench_torch_cpu_baseline(max_steps)
+    except Exception as e:  # reference/torch unavailable
+        print(f"baseline measurement unavailable: {e}", file=sys.stderr)
+        return None
+    cache[key] = value
+    cache["k"] = K
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f)
+    return value
 
 
 def main():
     if "--pretrain-only" in sys.argv:
         print(json.dumps(bench_pretrain()))
         return
+    if "--pipeline-only" in sys.argv:
+        print(json.dumps(bench_pipeline()))
+        return
+
+    for note in pending_gates():
+        print(note)
+
+    # host-pipeline line (no TPU involved; cheap)
+    try:
+        print(json.dumps(bench_pipeline()))
+    except Exception as e:
+        print(f"pipeline bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # secondary pretrain metric in a subprocess FIRST, before this process
     # initializes jax: the machine has ONE chip, so the child can only get
@@ -212,43 +364,59 @@ def main():
     # The free HBM on this shared chip varies between rounds (batch 64 ran
     # in r1, OOMs sometimes in r2); reference per-GPU batch is 96
     # (SPMM_pretrain.py:16).
-    for bs in (64, 32, 16):
+    # rungs: direct large batches first (reference is 96/GPU); when HBM on
+    # this shared chip is short, fall back to gradient accumulation (same
+    # optimizer batch, microbatch-sized activation peak) before shrinking
+    # the batch outright.  A wall-clock budget bounds the ladder: every
+    # failed rung costs a full-size compile (~6-10 min).
+    rung_deadline = time.monotonic() + 2 * PRETRAIN_TIMEOUT_S
+    for bs, accum in ((64, 1), (96, 1), (64, 2), (96, 2), (32, 1), (16, 1)):
+        if time.monotonic() > rung_deadline:
+            print("pretrain bench: rung time budget exhausted",
+                  file=sys.stderr)
+            break
         try:
             with tempfile.TemporaryFile(mode="w+") as out:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--pretrain-only"],
                     stdout=out, stderr=subprocess.DEVNULL,
-                    env={**os.environ, "SPMM_PRETRAIN_BATCH": str(bs)},
+                    env={**os.environ, "SPMM_PRETRAIN_BATCH": str(bs),
+                         "SPMM_PRETRAIN_ACCUM": str(accum)},
                     timeout=PRETRAIN_TIMEOUT_S)
                 out.seek(0)
                 lines = [ln for ln in out.read().splitlines() if ln.strip()]
             if r.returncode == 0 and lines and lines[-1].startswith("{"):
                 pretrain_line = lines[-1]
                 break
-            print(f"pretrain bench at batch {bs}: rc={r.returncode}",
-                  file=sys.stderr)
+            print(f"pretrain bench at batch {bs} accum {accum}: "
+                  f"rc={r.returncode}", file=sys.stderr)
         except Exception as e:
-            print(f"pretrain bench at batch {bs}: {type(e).__name__}",
-                  file=sys.stderr)
+            print(f"pretrain bench at batch {bs} accum {accum}: "
+                  f"{type(e).__name__}", file=sys.stderr)
 
     value = bench_spmm_tpu()
     if pretrain_line:
         print(pretrain_line)
 
-    baseline = None
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            baseline = json.load(f)["torch_cpu_mol_per_sec"]
-    else:
-        try:
-            baseline = bench_torch_cpu_baseline()
-            with open(BASELINE_CACHE, "w") as f:
-                json.dump({"torch_cpu_mol_per_sec": baseline,
-                           "max_steps": MAX_STEPS, "k": K}, f)
-        except Exception as e:  # reference/torch unavailable
-            print(f"baseline measurement unavailable: {e}", file=sys.stderr)
+    # decode at the reference's REAL cap (100 steps) — the regime the
+    # shipped workload actually runs in (d_pv2smiles_single.py:86)
+    try:
+        v100 = bench_spmm_tpu(max_steps=FULL_STEPS,
+                              device_batch=FULL_STEPS_BATCH,
+                              n_molecules=2 * FULL_STEPS_BATCH)
+        b100 = _load_baseline("torch_cpu_mol_per_sec_100", FULL_STEPS)
+        print(json.dumps({
+            "metric": "pv2smiles_beam_k2_throughput_100step",
+            "value": round(v100, 3),
+            "unit": "mol/s",
+            "vs_baseline": round(v100 / b100, 2) if b100 else None,
+        }))
+    except Exception as e:
+        print(f"100-step decode bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
+    baseline = _load_baseline("torch_cpu_mol_per_sec", MAX_STEPS)
     result = {
         "metric": "pv2smiles_beam_k2_throughput",
         "value": round(value, 3),

@@ -452,6 +452,7 @@ def make_pretrain_step(
     text_cfg: Optional[BertArchConfig] = None,
     prop_cfg: Optional[BertArchConfig] = None,
     donate: bool = False,
+    accum: int = 1,
 ):
     """Builds the jitted data-parallel train step.
 
@@ -461,6 +462,13 @@ def make_pretrain_step(
     ``donate=True`` donates the state buffers (params/EMA/opt_state/queue are
     updated in place, saving ~2GB HBM for the full-size model) — the caller
     must not touch the old state afterwards (training loops; not tests).
+
+    ``accum=N`` splits the global batch into N sequential microbatches and
+    averages their gradients (activation peak scales with the microbatch).
+    In-batch ITA/ITM negatives become microbatch-local — exactly the
+    semantics of running the reference's DDP on N-fold more ranks (per-rank
+    in-batch negatives, SURVEY §2.3); the queue still receives every
+    momentum feature of the full global batch.
     """
     text_cfg = text_cfg or text_config()
     prop_cfg = prop_cfg or property_config()
@@ -515,8 +523,43 @@ def make_pretrain_step(
                 lambda x: jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, _zero1_spec(x, n_dev))), ema)
 
-        grads, loss, metrics, prop_feats, text_feats = sharded_grads(
-            state["params"], ema, state["queue"], batch, rng, alpha)
+        if accum == 1:
+            grads, loss, metrics, prop_feats, text_feats = sharded_grads(
+                state["params"], ema, state["queue"], batch, rng, alpha)
+        else:
+            gb = batch["prop"].shape[0]
+            assert gb % accum == 0, "global batch must divide by accum"
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum, gb // accum) + x.shape[1:]),
+                batch)
+
+            # unrolled python loop (NOT lax.scan: scan-of-shard_map
+            # compiles pathologically); the optimization_barrier ties each
+            # microbatch's rng to the previous accumulation so XLA cannot
+            # overlap two microbatches' forwards — the activation peak stays
+            # that of ONE microbatch, which is the whole point
+            g_sum = l_sum = m_sum = None
+            feats = []
+            for i in range(accum):
+                mb = jax.tree.map(lambda x: x[i], micro)
+                mb_rng = jax.random.fold_in(rng, i)
+                if g_sum is not None:
+                    mb_rng, g_sum = jax.lax.optimization_barrier(
+                        (mb_rng, g_sum))
+                g, l, m, pf, tf = sharded_grads(
+                    state["params"], ema, state["queue"], mb, mb_rng, alpha)
+                feats.append((pf, tf))
+                if g_sum is None:
+                    g_sum, l_sum, m_sum = g, l, m
+                else:
+                    g_sum = jax.tree.map(jnp.add, g_sum, g)
+                    l_sum = l_sum + l
+                    m_sum = jax.tree.map(jnp.add, m_sum, m)
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            loss = l_sum / accum
+            metrics = jax.tree.map(lambda m: m / accum, m_sum)
+            prop_feats = jnp.concatenate([f[0] for f in feats])
+            text_feats = jnp.concatenate([f[1] for f in feats])
 
         finite = jnp.isfinite(loss)
         lr = schedule(step)

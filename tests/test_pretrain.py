@@ -197,3 +197,56 @@ def test_zero1_matches_replicated_and_stays_sharded(state):
     assert any(leaf_spec(x) == PartitionSpec("dp") for x in sharded_leaves)
     ema_w = got_state["ema"]["text_proj"]["w"]
     assert leaf_spec(ema_w) == PartitionSpec("dp")
+
+
+def test_accum_matches_mean_of_microbatch_grads():
+    """accum=N must produce exactly the mean of the N microbatch loss
+    computations (same rng streams) and a queue updated with every
+    microbatch's momentum features in global order.  Uses its own
+    extra-small model: the step compiles the grad graph accum times."""
+    nano = dict(TINY, hidden_size=16, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+                encoder_width=16)
+    text_cfg = BertArchConfig(**nano, add_cross_attention=True)
+    prop_cfg = BertArchConfig(**{**nano, "vocab_size": 1},
+                              add_cross_attention=False)
+    pcfg = PretrainConfig(embed_dim=8, queue_size=64, batch_size=2,
+                          warmup_epochs=2)
+    st = init_pretrain_state(jax.random.PRNGKey(0), pcfg, text_cfg, prop_cfg)
+
+    mesh = data_parallel_mesh(8)
+    accum = 2
+    step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch=10,
+                                 text_cfg=text_cfg, prop_cfg=prop_cfg,
+                                 accum=accum)
+    batch = make_batch(5, global_bs=16)
+    rng = jax.random.PRNGKey(7)
+    new_state, metrics = step_fn(st, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state["queue"]["ptr"]) == 16
+    # queue columns hold normalized momentum features from BOTH microbatches
+    q = np.asarray(new_state["queue"]["prop"][:, :16])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=0), 1.0, atol=1e-5)
+
+    # oracle: pmean-of-shards == plain mean of per-shard losses, so rebuild
+    # the loss per (microbatch, shard) with the step's exact rng streams —
+    # ONE small jit instead of another shard_map compile (slow under pytest)
+    loss_fn = jax.jit(
+        lambda p, e, q, b, r: pretrain_loss(
+            p, e, q, b, r, jnp.float32(0.0), text_cfg, prop_cfg, pcfg)[0])
+    ema = ema_update(st["ema"], st["params"], pcfg.momentum)
+    n_dev = mesh.devices.size
+    losses = []
+    for i in range(accum):
+        mb = jax.tree.map(
+            lambda x: x.reshape((accum, 16 // accum) + x.shape[1:])[i], batch)
+        r_i = jax.random.fold_in(rng, i)
+        for d in range(n_dev):
+            shard = jax.tree.map(
+                lambda x: x.reshape((n_dev, -1) + x.shape[1:])[d], mb)
+            losses.append(float(loss_fn(
+                st["params"], ema, st["queue"], shard,
+                jax.random.fold_in(r_i, d))))
+    # alpha at step 0 is 0.0 (ramp), so the oracle uses alpha=0
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               np.mean(losses), rtol=1e-5)
