@@ -67,8 +67,7 @@ def init_self_cache(
 
 
 def init_beam_cache_kv(
-    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32,
-    head_dim: Optional[int] = None,
+    cfg: BertArchConfig, m: int, k: int, max_len: int, dtype=jnp.float32
 ) -> jnp.ndarray:
     """Beam-search KV cache as ONE array [2(kv), L, m, h, k, T, D].
 
@@ -84,7 +83,7 @@ def init_beam_cache_kv(
     replaced by a cheap [m, k, T] int32 ancestry permutation.
     """
     shape = (2, cfg.num_hidden_layers, m, cfg.num_attention_heads, k,
-             max_len, head_dim or cfg.head_dim)
+             max_len, cfg.head_dim)
     return jnp.zeros(shape, dtype)
 
 
@@ -439,13 +438,20 @@ def beam_search_batched(
         return min(-8 * (-(seg_end + 2) // 8), T)
 
     cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden)
-    # the pallas kernel needs the cache's minor (head) dim lane-tile aligned
-    # (128); the physical HBM buffer is lane-padded to 128 regardless, so
-    # the padding is free — see ops/decode_attention.py
-    dpad = (-128 * (-cfg.head_dim // 128)) if use_pallas else cfg.head_dim
-    cache = _pin_cache_layout(
-        init_beam_cache_kv(cfg, m, k, seg_len(seg_ends[0]), cache_dtype,
-                           head_dim=dpad))
+    if use_pallas:
+        # lane-folded cache [2, L, m, h, T, k*D(->128)]: the k beam lanes
+        # live in the lane (minor) dim, so the (8,128) HBM tiling carries no
+        # physical padding (a [.., k, T, 64] layout is silently lane-padded
+        # to 128 and every read moves 2x the useful bytes) — see
+        # ops/decode_attention.py
+        from spmm_tpu.ops.decode_attention import fold_dim
+
+        cache = _pin_cache_layout(jnp.zeros(
+            (2, cfg.num_hidden_layers, m, cfg.num_attention_heads,
+             seg_len(seg_ends[0]), fold_dim(k, cfg.head_dim)), cache_dtype))
+    else:
+        cache = _pin_cache_layout(
+            init_beam_cache_kv(cfg, m, k, seg_len(seg_ends[0]), cache_dtype))
 
     # ancestry matrix: anc[m, b, t] = physical cache lane holding beam b's
     # K/V for position t.  The cache itself is append-only (each step writes
@@ -561,8 +567,10 @@ def beam_search_batched(
         T_seg = seg_len(seg_end)
         if T_seg != prev_T:                 # grow the cache for this segment
             cache = state[5]
-            cache = _pin_cache_layout(jnp.pad(
-                cache, [(0, 0)] * 5 + [(0, T_seg - prev_T), (0, 0)]))
+            # T axis: 4 in the lane-folded pallas layout, 5 in the XLA one
+            padspec = [(0, 0)] * cache.ndim
+            padspec[cache.ndim - 2] = (0, T_seg - prev_T)
+            cache = _pin_cache_layout(jnp.pad(cache, padspec))
             state = state[:5] + (cache,) + state[6:]
             prev_T = T_seg
         cond, body = make_segment(seg_end, T_seg)
@@ -621,16 +629,32 @@ def greedy_decode(
     cls_id: int = 2,
     sep_id: int = 3,
     cache_dtype=jnp.float32,
+    attention: str = "auto",
 ) -> dict[str, jnp.ndarray]:
     """Batch greedy/stochastic decode (reference d_rxn_prediction.py:55-81):
     every row decodes until it has emitted [SEP] (or max_steps); a row's
     tokens keep appending after its SEP exactly like the reference (the stop
-    test happens before appending)."""
+    test happens before appending).
+
+    On TPU the step runs through the fused Pallas kernel as a k=1 beam
+    (trivial ancestry) — same DUS/layout wins as the beam path."""
     b = cross_hidden.shape[0]
-    T = max_steps + 2
+    use_pallas = attention == "pallas" or (
+        attention == "auto" and jax.default_backend() == "tpu")
+    # 8-aligned buffer for the kernel's DMA tiling; the tail is masked
+    T = -8 * (-(max_steps + 2) // 8) if use_pallas else max_steps + 2
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     cross_kv = precompute_cross_kv(params_mlm, cfg, cross_hidden)
-    cache = init_self_cache(cfg, b, T, cache_dtype)
+    if use_pallas:
+        from spmm_tpu.ops.decode_attention import fold_dim
+
+        cache = _pin_cache_layout(jnp.zeros(
+            (2, cfg.num_hidden_layers, b, cfg.num_attention_heads, T,
+             fold_dim(1, cfg.head_dim)), cache_dtype))
+        anc = jnp.zeros((b, 1, T), jnp.int32)      # single lane
+    else:
+        cache = init_self_cache(cfg, b, T, cache_dtype)
+        anc = None
     seqs = jnp.zeros((b, T), jnp.int32).at[:, 0].set(cls_id)
 
     def cond(state):
@@ -642,7 +666,7 @@ def greedy_decode(
         key_valid = (seqs != 0).astype(jnp.int32)
         logits, cache = decode_step(
             params_mlm, cfg, seqs[:, step], step, cache, key_valid,
-            cross_kv, cross_mask)
+            cross_kv, cross_mask, anc=anc, pallas=use_pallas)
         if stochastic:
             tok = jax.random.categorical(jax.random.fold_in(rng, step), logits)
         else:

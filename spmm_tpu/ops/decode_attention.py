@@ -15,21 +15,32 @@ on GPU — SURVEY §3.3).  The XLA formulation (inference/decoding.py
 This kernel replaces both with explicit data movement:
 
   - the cache stays in HBM (``memory_space=ANY``) and is updated IN PLACE
-    via ``input_output_aliases`` — the append is a single small DMA per
-    (k, v), no full-buffer read-modify-write;
-  - each grid cell DMAs one m-block's layer slab [MB, h, k, T, D] into a
+    via ``input_output_aliases`` — the append is an aligned 8-row
+    read-modify-write window, no full-buffer read-modify-write;
+  - each grid cell DMAs one m-block's layer slab [MB, h, T, FD] into a
     double-buffered VMEM scratch (the next block's slab prefetches while the
     current one computes), so the per-step HBM traffic is exactly one cache
-    read + one position write;
-  - scores/softmax in fp32 with the prefix mask excluding the current
-    position; the current token's own K/V enter densely (same joint-softmax
-    trick as ``_beam_attention``), so reading the slab concurrently with the
-    position-``pos`` append is race-free: the raced bytes are masked out.
+    read + one small window write;
+  - **lane folding**: the k beam lanes are packed into the cache's lane
+    (minor) dimension — FD = roundup128(k * head_dim), lane-block l holds
+    lane l's head values.  For k=2/head_dim=64 that is exactly 128 lanes:
+    the cache carries ZERO physical padding, where a [.., k, T, 64] layout
+    is silently lane-padded to 128 by the (8,128) HBM tiling and every slab
+    read moves 2x the useful bytes.  Scores against all lanes jointly use a
+    block-diagonal query (q broadcast into its lane block, zeros elsewhere),
+    so one MXU contraction over FD yields each (query-beam, lane) pair.
 
-Numerics are identical to the XLA path: the joint softmax over
-[prefix ++ self] sees the same logit set, additive -10000 masking, fp32
-accumulation.  Parity is asserted by tests/test_decode_attention.py (CPU
-interpret mode vs the XLA path) and the existing beam-parity suite.
+Numerics are identical to the XLA path: per query-beam the joint softmax
+over [all lanes' prefixes ++ self] sees the same logit set, additive -10000
+masking, fp32 accumulation.  Parity is asserted by
+tests/test_decode_attention.py (CPU interpret mode vs the XLA path) and the
+end-to-end beam-search equality test.
+
+Mosaic survival rules baked in (discovered on-chip, see NOTES.md):
+sublane (T) DMA extents multiple of 8; lane (FD) extents multiple of 128;
+no minor-dim reshape splits/merges inside the kernel (all reshapes here
+merge/split LEADING dims only; lane selection uses iota masks, beam-lane
+iteration uses static indexing on non-minor dims).
 """
 
 from __future__ import annotations
@@ -44,17 +55,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
-            q_ref,              # [MB, h, k, D] VMEM
-            knv_ref,            # [2, MB, h, k, 1, D] VMEM (new K and V)
-            mask_ref,           # [MB, k, k, T] fp32 VMEM (prefix mask, t<pos)
-            cache_ref,          # [2, L, m, h, k, T, D] ANY/HBM (aliased out)
-            ctx_ref,            # [MB, h, k, D] VMEM out
+            qf_ref,             # [MB, h, k, k, FD] block-diagonal queries
+            knv_ref,            # [2, MB, h, 1, FD] folded new K and V
+            vself_ref,          # [MB, h, k, FD] new V in own lane block
+            sself_ref,          # [MB, h, k] fp32 unscaled self scores
+            mask_ref,           # [MB, k, k, T] fp32 prefix mask (t < pos)
+            cache_ref,          # [2, L, m, h, T, FD] ANY/HBM (aliased out)
+            ctx_ref,            # [MB, h, k, FD] VMEM out (folded context)
             cache_out,          # aliased to cache_ref
-            kbuf, vbuf,         # [2(slot), MB, h, k, T, D] VMEM scratch
-            wbuf,               # [2(kv), MB, h, k, 8, D] append window
+            kbuf, vbuf,         # [2(slot), MB, h, T, FD] VMEM scratch
+            wbuf,               # [2(kv), MB, h, 8, FD] append window
             slab_sems,          # DMA sems [2(slot), 2(kv)]
             append_sems,        # DMA sems [2(phase), 2(kv)]
-            *, layer: int, block_m: int, scale: float):
+            *, layer: int, block_m: int, scale: float, head_dim: int):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -62,8 +75,7 @@ def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
 
     def slab_copy(block, slot, kv, buf):
         return pltpu.make_async_copy(
-            cache_ref.at[kv, layer,
-                         pl.ds(block * block_m, block_m)],
+            cache_ref.at[kv, layer, pl.ds(block * block_m, block_m)],
             buf.at[slot],
             slab_sems.at[slot, kv],
         )
@@ -85,70 +97,64 @@ def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
     slab_copy(i, slot, 1, vbuf).wait()
 
     # append this block's new K/V at `pos`, as an aligned 8-row
-    # read-modify-write window (Mosaic requires DMA slice extents on the
-    # sublane (T) dim to be 8-aligned, so a 1-row append is not expressible;
-    # rows != pos are rewritten with the values they already hold).  The
-    # readback starts now and overlaps the attention compute below.
+    # read-modify-write window (a 1-row DMA append is not expressible:
+    # sublane extents must be 8-aligned; rows != pos are rewritten with the
+    # values they already hold).  Readback overlaps the compute below.
     pa = pl.multiple_of((pos // 8) * 8, 8)
     rows = pl.ds(i * block_m, block_m)
 
     def window_copy(kv, phase):
-        src_dst = (cache_ref.at[kv, layer, rows, :, :, pl.ds(pa, 8)],
+        src_dst = (cache_ref.at[kv, layer, rows, :, pl.ds(pa, 8)],
                    wbuf.at[kv])
         if phase == 1:
             src_dst = (wbuf.at[kv],
-                       cache_out.at[kv, layer, rows, :, :, pl.ds(pa, 8)])
+                       cache_out.at[kv, layer, rows, :, pl.ds(pa, 8)])
         return pltpu.make_async_copy(*src_dst, append_sems.at[phase, kv])
 
     window_copy(0, 0).start()
     window_copy(1, 0).start()
 
-    mb, h, k, d = q_ref.shape
-    T = kbuf.shape[4]
-    q = q_ref[...].astype(jnp.float32)                    # [MB, h, k, D]
-    qf = q.reshape(mb * h, k, d)
-    # per-lane scores: Mosaic rejects minor-dim splits/merges ((k, T) <->
-    # k*T reshapes of the score/cache tensors), so the k cache lanes are a
-    # short python loop — reshapes below only merge/split LEADING dims.
-    scores = []                                           # l -> [MB, h, k, T]
-    for l in range(k):
-        kc_l = kbuf[slot][:, :, l].astype(jnp.float32)    # [MB, h, T, D]
-        s_l = jax.lax.dot_general(
-            qf, kc_l.reshape(mb * h, T, d),
+    mb, h, k, _, fd = qf_ref.shape
+    T = kbuf.shape[3]
+    kc = kbuf[slot]                                       # [MB, h, T, FD]
+    vc = vbuf[slot]
+    kc_f = kc.astype(jnp.float32).reshape(mb * h, T, fd)
+    vc_f = vc.reshape(mb * h, T, fd)
+    # lane-block masks: lane c belongs to beam lane c // head_dim
+    lane_of = jax.lax.broadcasted_iota(jnp.int32, (1, 1, fd), 2) // head_dim
+
+    for q in range(k):
+        qf_q = qf_ref[:, :, q].astype(jnp.float32)        # [MB, h, k, FD]
+        s_q = jax.lax.dot_general(
+            qf_q.reshape(mb * h, k, fd), kc_f,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(mb, h, k, T) * scale
-        scores.append(s_l + mask_ref[:, :, l][:, None])   # bcast over heads
-    # dense self term: own lane's K/V at the current position
-    kn = knv_ref[0, :, :, :, 0].astype(jnp.float32)       # [MB, h, k, D]
-    vn = knv_ref[1, :, :, :, 0]
-    s_self = jnp.sum(q * kn, axis=-1) * scale             # [MB, h, k]
-    # joint softmax over [all lanes' prefixes ++ self] without concatenation
-    mx = s_self
-    for s_l in scores:
-        mx = jnp.maximum(mx, jnp.max(s_l, axis=-1))       # [MB, h, k]
-    e_self = jnp.exp(s_self - mx)
-    denom = e_self
-    ctx = jnp.zeros((mb * h, k, d), jnp.float32)
-    for l, s_l in enumerate(scores):
-        e_l = jnp.exp(s_l - mx[..., None])                # [MB, h, k, T]
-        denom = denom + jnp.sum(e_l, axis=-1)
-        vc_l = vbuf[slot][:, :, l]                        # [MB, h, T, D]
-        ctx = ctx + jax.lax.dot_general(
-            e_l.reshape(mb * h, k, T).astype(vc_l.dtype),
-            vc_l.reshape(mb * h, T, d),
+        s_q = s_q + mask_ref[:, q][:, None]               # bcast over heads
+        ss = sself_ref[:, :, q].astype(jnp.float32) * scale   # [MB, h]
+        # sequential single-axis reductions: Mosaic only supports joint
+        # two-trailing-dim reductions when the result keeps a size-1 lane
+        mx = jnp.maximum(jnp.max(jnp.max(s_q, axis=3), axis=2), ss)
+        e_q = jnp.exp(s_q - mx[:, :, None, None])
+        e_s = jnp.exp(ss - mx)
+        den = jnp.sum(jnp.sum(e_q, axis=3), axis=2) + e_s
+        out = jax.lax.dot_general(
+            e_q.reshape(mb * h, k, T).astype(vc.dtype), vc_f,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-    ctx = ctx.reshape(mb, h, k, d)
-    ctx = ctx + e_self[..., None] * vn.astype(jnp.float32)
-    ctx = ctx / denom[..., None]
-    ctx_ref[...] = ctx.astype(ctx_ref.dtype)
+        ).reshape(mb, h, k, fd)
+        # keep only lane l's block from the l-th row, then sum the rows
+        ctx_q = jnp.zeros((mb, h, fd), jnp.float32)
+        for l in range(k):
+            ctx_q = ctx_q + jnp.where(lane_of == l, out[:, :, l], 0.0)
+        ctx_q = ctx_q + e_s[..., None] * vself_ref[:, :, q].astype(jnp.float32)
+        ctx_q = ctx_q / den[..., None]
+        ctx_ref[:, :, q] = ctx_q.astype(ctx_ref.dtype)
 
     # merge the new K/V into the window and write it back
     window_copy(0, 0).wait()
     window_copy(1, 0).wait()
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, mb, h, k, 8, 1), 4)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 8, 1), 3)
     wbuf[...] = jnp.where(row_ids == pos - pa, knv_ref[...], wbuf[...])
     window_copy(0, 1).start()
     window_copy(1, 1).start()
@@ -156,96 +162,110 @@ def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
     window_copy(1, 1).wait()
 
 
+def fold_dim(k: int, head_dim: int) -> int:
+    """Cache lane width with the k beam lanes folded in (128-aligned)."""
+    return -128 * (-(k * head_dim) // 128)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("layer", "block_m", "head_dim", "interpret"))
+    static_argnames=("layer", "block_m", "interpret"))
 def beam_decode_attention(
     q: jnp.ndarray,           # [m, h, k, D] current queries
     k_new: jnp.ndarray,       # [m, h, k, D] current K
     v_new: jnp.ndarray,       # [m, h, k, D] current V
-    cache: jnp.ndarray,       # [2, L, m, h, k, T, Dp] full beam cache
+    cache: jnp.ndarray,       # [2, L, m, h, T, FD] lane-folded beam cache
     mask: jnp.ndarray,        # [m, k, k, T] additive fp32 prefix mask (t<pos)
     pos: jnp.ndarray,         # scalar int32
     layer: int,
     block_m: int = 8,
-    head_dim: Optional[int] = None,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One layer's fused cache-append + ancestry-masked beam attention.
 
     Returns (ctx [m, h, k, D], cache) where ``cache`` is the SAME buffer
     updated in place (input_output_aliases) with k_new/v_new written at
-    ``pos``.  Callers must thread the returned cache into the next use.
-
-    The cache's head dim Dp may be 128 (lane-tile padded) while the model's
-    head_dim is smaller: Mosaic requires DMA slice extents along the lane
-    dim to be 128-aligned, and the physical HBM buffer is lane-padded to 128
-    either way, so allocating the padding logically costs nothing.  q/k/v
-    are zero-padded here (zeros add 0 to scores and context) and the
-    returned ctx is sliced back to head_dim; softmax scale uses the TRUE
-    head_dim.
+    ``pos`` (lane-folded).  Callers must thread the returned cache into the
+    next use.
     """
     m, h, k, d = q.shape
-    head_dim = head_dim or d
-    T, dp = cache.shape[5], cache.shape[6]
+    T, fd = cache.shape[4], cache.shape[5]
+    assert fd == fold_dim(k, d), (fd, k, d)
     assert m % block_m == 0, (m, block_m)
     assert T % 8 == 0, f"cache T={T} must be 8-aligned (Mosaic DMA tiling)"
-    if dp != d:
-        assert dp % 128 == 0 or interpret, (dp, d)
-        padw = [(0, 0)] * 3 + [(0, dp - d)]
-        q = jnp.pad(q, padw)
-        k_new = jnp.pad(k_new, padw)
-        v_new = jnp.pad(v_new, padw)
-        d = dp
     n_blocks = m // block_m
-    knv = jnp.stack([k_new, v_new])[:, :, :, :, None, :]  # [2, m, h, k, 1, D]
+
+    # XLA-side folding (all tiny): block-diagonal queries, folded new K/V,
+    # own-lane-block new V, unscaled self scores
+    eye = jnp.eye(k, dtype=q.dtype)
+    pad = [(0, 0)] * 3 + [(0, fd - k * d)]
+    qf = (q[:, :, :, None, None, :] * eye[None, None, None, :, :, None]
+          ).reshape(m, h, k, k, k * d)
+    qf = jnp.pad(qf, [(0, 0)] * 4 + [(0, fd - k * d)])
+    knv = jnp.pad(jnp.stack([k_new.reshape(m, h, k * d),
+                             v_new.reshape(m, h, k * d)]),
+                  [(0, 0)] * 3 + [(0, fd - k * d)])[:, :, :, None, :]
+    vself = jnp.pad(
+        (v_new[:, :, :, None, :] * eye[None, None, :, :, None]
+         ).reshape(m, h, k, k * d), pad)
+    sself = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                    axis=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_m, h, k, d), lambda i, p: (i, 0, 0, 0),
+            pl.BlockSpec((block_m, h, k, k, fd),
+                         lambda i, p: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, block_m, h, k, 1, d),
-                         lambda i, p: (0, i, 0, 0, 0, 0),
+            pl.BlockSpec((2, block_m, h, 1, fd),
+                         lambda i, p: (0, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, h, k, fd), lambda i, p: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, h, k), lambda i, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, k, k, T), lambda i, p: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((block_m, h, k, d), lambda i, p: (i, 0, 0, 0),
+            pl.BlockSpec((block_m, h, k, fd), lambda i, p: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_m, h, k, T, d), cache.dtype),
-            pltpu.VMEM((2, block_m, h, k, T, d), cache.dtype),
-            pltpu.VMEM((2, block_m, h, k, 8, d), cache.dtype),
+            pltpu.VMEM((2, block_m, h, T, fd), cache.dtype),
+            pltpu.VMEM((2, block_m, h, T, fd), cache.dtype),
+            pltpu.VMEM((2, block_m, h, 8, fd), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    slab_bytes = 2 * m * h * k * T * d * cache.dtype.itemsize
-    ctx, cache = pl.pallas_call(
+    slab_bytes = 2 * m * h * T * fd * cache.dtype.itemsize
+    ctx_fold, cache = pl.pallas_call(
         functools.partial(_kernel, layer=layer, block_m=block_m,
-                          scale=head_dim ** -0.5),
+                          scale=d ** -0.5, head_dim=d),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((m, h, k, d), q.dtype),
+            jax.ShapeDtypeStruct((m, h, k, fd), q.dtype),
             jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         ],
-        # inputs: [pos, q, knv, mask, cache]; cache input index 4 -> out 1
-        input_output_aliases={4: 1},
+        # flat operands: [pos, qf, knv, vself, sself, mask, cache];
+        # cache input index 6 -> output 1
+        input_output_aliases={6: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * m * h * k * k * T * d,
+            flops=4 * m * h * k * T * fd,
             bytes_accessed=slab_bytes,
             transcendentals=m * h * k * (k * T + 1),
         ),
         interpret=interpret,
-    )(pos.reshape(1).astype(jnp.int32), q, knv, mask, cache)
-    return ctx[..., :head_dim], cache
+    )(pos.reshape(1).astype(jnp.int32), qf, knv, vself,
+      sself.astype(jnp.float32), mask, cache)
+    # unfold: lane-block l of query-beam q's row is lane l's contribution
+    ctx = ctx_fold[..., : k * d].reshape(m, h, k, k, d).sum(axis=3)
+    return ctx, cache

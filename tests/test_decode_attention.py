@@ -16,14 +16,25 @@ from spmm_tpu.inference.decoding import _ancestry_mask, _beam_attention
 from spmm_tpu.ops.decode_attention import beam_decode_attention
 
 
+def fold_cache(unfolded, fd):
+    """[2, L, m, h, k, T, d] -> lane-folded [2, L, m, h, T, FD]."""
+    two, L, m, h, k, T, d = unfolded.shape
+    folded = jnp.moveaxis(unfolded, 4, 5).reshape(two, L, m, h, T, k * d)
+    return jnp.pad(folded, [(0, 0)] * 5 + [(0, fd - k * d)])
+
+
 @pytest.mark.parametrize("k", [2, 5])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_kernel_matches_xla(k, dtype):
+    from spmm_tpu.ops.decode_attention import fold_dim
+
     m, h, L, T, d = 4, 3, 2, 24, 64
     layer, pos = 1, 11
+    fd = fold_dim(k, d)
     rng = np.random.default_rng(0)
 
-    cache = jnp.asarray(rng.normal(size=(2, L, m, h, k, T, d)), dtype)
+    unfolded = jnp.asarray(rng.normal(size=(2, L, m, h, k, T, d)), dtype)
+    cache = fold_cache(unfolded, fd)
     q = jnp.asarray(rng.normal(size=(m, h, k, d)), dtype)
     kn = jnp.asarray(rng.normal(size=(m, h, k, d)), dtype)
     vn = jnp.asarray(rng.normal(size=(m, h, k, d)), dtype)
@@ -36,7 +47,7 @@ def test_kernel_matches_xla(k, dtype):
     mask5 = _ancestry_mask(anc, prefix_valid.astype(jnp.int32))  # [m,1,k,k,T]
 
     want_ctx = _beam_attention(
-        q, cache[0, layer], cache[1, layer], mask5, kn, vn)
+        q, unfolded[0, layer], unfolded[1, layer], mask5, kn, vn)
 
     ctx, new_cache = beam_decode_attention(
         q, kn, vn, cache, mask5[:, 0].astype(jnp.float32),
@@ -50,12 +61,13 @@ def test_kernel_matches_xla(k, dtype):
     # cache updated exactly at (layer, pos); the aligned append window may
     # rewrite rows pos+1..window-end with the (junk) values it read back, so
     # only positions <= pos are required untouched
-    expect = np.asarray(cache).copy()
-    expect[0, layer, :, :, :, pos, :] = np.asarray(kn)
-    expect[1, layer, :, :, :, pos, :] = np.asarray(vn)
+    expect_unf = np.asarray(unfolded).copy()
+    expect_unf[0, layer, :, :, :, pos, :] = np.asarray(kn)
+    expect_unf[1, layer, :, :, :, pos, :] = np.asarray(vn)
+    expect = np.asarray(fold_cache(jnp.asarray(expect_unf), fd))
     got_c = np.asarray(new_cache)
-    np.testing.assert_array_equal(got_c[:, :, :, :, :, : pos + 1],
-                                  expect[:, :, :, :, :, : pos + 1])
+    np.testing.assert_array_equal(got_c[:, :, :, :, : pos + 1],
+                                  expect[:, :, :, :, : pos + 1])
     np.testing.assert_array_equal(got_c[:, : layer], expect[:, : layer])
     np.testing.assert_array_equal(got_c[:, layer + 1:], expect[:, layer + 1:])
 
@@ -93,3 +105,34 @@ def test_beam_search_pallas_matches_xla():
     np.testing.assert_array_equal(got["seqs"], want["seqs"])
     np.testing.assert_allclose(got["logp"], want["logp"], atol=1e-5)
     np.testing.assert_array_equal(got["n_finished"], want["n_finished"])
+
+
+def test_greedy_pallas_matches_xla():
+    """greedy_decode through the kernel (k=1 beam, interpret mode) must
+    reproduce the XLA path's token sequences exactly."""
+    from spmm_tpu.configs import BertArchConfig
+    from spmm_tpu.inference.decoding import greedy_decode
+    from spmm_tpu.models import bert as jbert
+
+    cfg = BertArchConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2, fusion_layer=1,
+        encoder_width=64, add_cross_attention=True)
+    rng = jax.random.PRNGKey(21)
+    params = jbert.init_mlm_params(rng, cfg)
+    b = 3
+    enc = jax.random.normal(jax.random.fold_in(rng, 1), (b, 5, cfg.hidden_size))
+    enc_mask = jnp.ones((b, 5), jnp.int32)
+
+    f = jax.jit(greedy_decode,
+                static_argnames=("cfg", "max_steps", "attention"))
+    want = jax.device_get(f(params, cfg, enc, enc_mask, max_steps=14,
+                            attention="xla"))
+    got = jax.device_get(f(params, cfg, enc, enc_mask, max_steps=14,
+                           attention="pallas"))
+    # buffers may differ in length (8-aligned for the kernel); compare the
+    # decoded prefix
+    n = want["seqs"].shape[1]
+    np.testing.assert_array_equal(got["seqs"][:, :n], want["seqs"])
+    assert int(got["steps"]) == int(want["steps"])
