@@ -23,11 +23,18 @@ from spmm_tpu.parallel.mesh import auto_mesh
 from spmm_tpu.tokenizer import default_buckets
 
 
-def pv_generate(params, tok, smiles_list, stats, batch_size=64, mesh=None):
+def pv_generate(params, tok, smiles_list, stats, batch_size=128, mesh=None,
+                bf16=False):
     """Library-style API accepting a list of SMILES strings
     (reference d_smiles2pv.py:39-57); returns denormalized PVs [N, 53].
     With ``mesh`` molecules are sharded over its dp axis (batch_size is the
-    global batch and must divide the mesh size)."""
+    global batch and must divide the mesh size).  ``bf16`` is an
+    experimentation hook — measured SLOWER than fp32 on v5e at these
+    shapes (see inference/smiles2pv.py); fp32 default matches the
+    reference numerics (and the golden gate) and is fastest."""
+    if bf16:
+        from spmm_tpu.inference.smiles2pv import cast_params_bf16
+        params = cast_params_bf16(params)   # outside the jit: bf16 in HBM
     if mesh is not None:
         from spmm_tpu.parallel.mesh import batch_sharding, replicated
         assert batch_size % mesh.devices.size == 0
@@ -46,7 +53,7 @@ def pv_generate(params, tok, smiles_list, stats, batch_size=64, mesh=None):
         if mesh is not None:
             ids = jax.device_put(ids, batch_sharding(mesh))
             mask = jax.device_put(mask, batch_sharding(mesh))
-        preds = np.asarray(predict_pv(params, ids, mask))[:n]
+        preds = np.asarray(predict_pv(params, ids, mask, bf16=bf16))[:n]
         out.append(stats.denormalize(preds))
     return np.concatenate(out)
 
@@ -72,7 +79,13 @@ def main(argv=None):
     p.add_argument("--property_cache", default=None,
                    help=".npz with raw PVs aligned to input lines "
                         "(required for metrics when RDKit is absent)")
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=128,
+                   help="device batch (128 is the measured v5e sweet spot: "
+                        "221.8 mol/s vs 169.6 at 64)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 weights/activations (fp32 LN/softmax); "
+                        "measured slower than fp32 on v5e at these shapes "
+                        "— experimentation hook, small numeric drift")
     p.add_argument("--output_file", default=None)
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)

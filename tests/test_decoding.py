@@ -124,7 +124,11 @@ def test_cache_matches_full_prefix(tiny_cfg):
 
 
 @requires_reference
-def test_smiles2pv_parity(ref, torch, tiny_cfg, tiny_prop_cfg):
+@pytest.mark.parametrize("n_props", [5, 20])
+def test_smiles2pv_parity(ref, torch, tiny_cfg, tiny_prop_cfg, n_props):
+    """n_props=5 runs the single-segment scan; n_props=20 crosses the
+    16-slot segment boundary of predict_pv's growing-buffer scan (the
+    production 53-prop path crosses two)."""
     text_model = make_ref_mlm(ref, torch, tiny_cfg, seed=0)
     prop_model = make_ref_mlm(ref, torch, tiny_prop_cfg, seed=1).bert
     h = tiny_cfg.hidden_size
@@ -153,7 +157,6 @@ def test_smiles2pv_parity(ref, torch, tiny_cfg, tiny_prop_cfg):
     mask[1, 6:] = 0
 
     # --- torch oracle mirroring reference d_smiles2pv.py:14-26,61-70 ---
-    n_props = 5
     with torch.no_grad():
         text_embeds = text_model.bert(
             ids, attention_mask=mask, return_dict=True, mode="text"
@@ -179,6 +182,15 @@ def test_smiles2pv_parity(ref, torch, tiny_cfg, tiny_prop_cfg):
         params, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
         text_cfg=tiny_cfg, prop_cfg=tiny_prop_cfg, n_properties=n_props)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=0)
+
+    # bf16 fast path: fp32 LN/softmax + fp32 scan carry keep the drift small
+    # but the autoregressive feedback compounds it — loose gate only.
+    got_bf16 = np.asarray(predict_pv(
+        params, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+        text_cfg=tiny_cfg, prop_cfg=tiny_prop_cfg, n_properties=n_props,
+        bf16=True))
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got_bf16, want, atol=0.05 * scale, rtol=0)
 
 
 # --------------------------------------------------------------------------- #
