@@ -45,13 +45,16 @@ import time
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
-N_MOLECULES = 256
-DEVICE_BATCH = 128   # best measured throughput on one v5e chip (r2 sweep)
+N_MOLECULES = 512
+# r3 pallas-v2 sweep: 831.5 mol/s @256 / 777.5 @128 (60-step); the ladder
+# falls back when the shared chip's free HBM is short
+DEVICE_BATCHES = (256, 128, 64)
 MAX_STEPS = 60
 K = 2
 
-FULL_STEPS = 100        # the reference's actual decode cap
-FULL_STEPS_BATCH = 64   # measured best for the T=102 regime (r2)
+FULL_STEPS = 100   # the reference's actual decode cap
+# r3 sweep at 100 steps: 468.6 mol/s @256, 459.5 @128, 355.5 @64
+FULL_STEPS_BATCHES = (256, 128, 64)
 
 PRETRAIN_BATCH = 64
 PRETRAIN_TIMEOUT_S = 1500
@@ -63,8 +66,24 @@ RELEASED_CKPT_CANDIDATES = (
 )
 
 
+def bench_spmm_tpu_laddered(max_steps: int = MAX_STEPS,
+                            device_batches=DEVICE_BATCHES,
+                            n_molecules: int = N_MOLECULES) -> float:
+    """Try device batches largest-first; an OOM (RESOURCE_EXHAUSTED on the
+    shared chip when free HBM is low) falls through to the next rung."""
+    last_err = None
+    for db in device_batches:
+        try:
+            return bench_spmm_tpu(max_steps, db, n_molecules)
+        except Exception as e:
+            print(f"decode bench at batch {db}: {type(e).__name__}",
+                  file=sys.stderr)
+            last_err = e
+    raise last_err
+
+
 def bench_spmm_tpu(max_steps: int = MAX_STEPS,
-                   device_batch: int = DEVICE_BATCH,
+                   device_batch: int = 256,
                    n_molecules: int = N_MOLECULES) -> float:
     import jax
     from spmm_tpu.inference.decoding import BeamSpec
@@ -395,16 +414,16 @@ def main():
             print(f"pretrain bench at batch {bs} accum {accum}: "
                   f"{type(e).__name__}", file=sys.stderr)
 
-    value = bench_spmm_tpu()
+    value = bench_spmm_tpu_laddered()
     if pretrain_line:
         print(pretrain_line)
 
     # decode at the reference's REAL cap (100 steps) — the regime the
     # shipped workload actually runs in (d_pv2smiles_single.py:86)
     try:
-        v100 = bench_spmm_tpu(max_steps=FULL_STEPS,
-                              device_batch=FULL_STEPS_BATCH,
-                              n_molecules=2 * FULL_STEPS_BATCH)
+        v100 = bench_spmm_tpu_laddered(max_steps=FULL_STEPS,
+                                       device_batches=FULL_STEPS_BATCHES,
+                                       n_molecules=512)
         b100 = _load_baseline("torch_cpu_mol_per_sec_100", FULL_STEPS)
         print(json.dumps({
             "metric": "pv2smiles_beam_k2_throughput_100step",
