@@ -172,12 +172,20 @@ def _pallas_beam_attention(q_m, k_m, v_m, cache, self_mask, pos, layer):
     """Call the fused Pallas kernel (ops/decode_attention.py) for one layer.
 
     Interpret mode off-TPU keeps the single code path testable on the CPU
-    mesh; block_m is the largest power-of-two divisor of m up to 8 (VMEM
-    slab sizing)."""
+    mesh; block_m is the largest power-of-two divisor of m whose four slab
+    buffers (K/V x double-buffer) fit a ~64MB VMEM budget.  Measured on
+    v5e: block size is perf-neutral at k=2 (the kernel is slab-DMA
+    bandwidth-bound — profiled 1.42 ms/step at m=128/T<=104 vs the ~0.84 ms
+    pure-traffic floor, ~60% effective HBM BW either way); larger blocks
+    are kept for the fewer grid cells and append-window RMWs."""
     from spmm_tpu.ops.decode_attention import beam_decode_attention
 
     m = q_m.shape[0]
-    block_m = next(b for b in (8, 4, 2, 1) if m % b == 0)
+    _, _, _, h, T, fd = cache.shape
+    slab_bytes_per_row = h * T * fd * cache.dtype.itemsize
+    budget = 64 * 1024 * 1024
+    block_m = next(b for b in (32, 16, 8, 4, 2, 1)
+                   if m % b == 0 and 4 * b * slab_bytes_per_row <= budget)
     interpret = jax.default_backend() != "tpu"
     return beam_decode_attention(
         q_m.astype(cache.dtype), k_m.astype(cache.dtype),
