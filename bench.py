@@ -111,10 +111,16 @@ def bench_spmm_tpu(max_steps: int = MAX_STEPS,
     batches = [inputs(i + 1) for i in range(n_batches)]
     jax.block_until_ready(batches)
     t0 = time.perf_counter()
+    sums = []
     for pv, rngs in batches:
         out = _beam_batch(params, pv, None, rngs, spec)
-    jax.block_until_ready(out)
+        # hard host data dependency per iteration: the axon runtime's
+        # block_until_ready intermittently returns early (observed r3:
+        # impossible 3.4 "MFU" timings); fetching a reduction of the
+        # result cannot lie
+        sums.append(int(jax.device_get(out["lengths"].sum())))
     dt = time.perf_counter() - t0
+    assert all(s > 0 for s in sums)
     return n_batches * device_batch / dt
 
 
@@ -280,14 +286,17 @@ def bench_pretrain() -> dict:
         batches = [make_batch(i + 1) for i in range(n_steps)]
         jax.block_until_ready(batches)
         t0 = time.perf_counter()
+        losses = []
         for i in range(n_steps):
             state, metrics = compiled(state, batches[i],
                                       jax.random.fold_in(rng, i))
-            # block each step: with donate=False (donation broken on axon)
-            # async dispatch would hold many full state copies
-            jax.block_until_ready(state)
+            # fetch the loss each step: a hard host data dependency both
+            # bounds in-flight state copies (donation is broken on axon)
+            # and defeats the runtime's intermittent early-return from
+            # block_until_ready (observed r3: impossible 3.4 "MFU")
+            losses.append(float(metrics["loss"]))
         dt = (time.perf_counter() - t0) / n_steps
-        assert np.isfinite(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
         return dt, flops_per_step
 
     bs = int(os.environ.get("SPMM_PRETRAIN_BATCH", PRETRAIN_BATCH))

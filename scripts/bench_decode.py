@@ -43,9 +43,13 @@ n_iter = 3
 batches = [inputs(i + 1) for i in range(n_iter)]
 jax.block_until_ready(batches)
 t0 = time.perf_counter()
+sums = []
 for b in batches:
     out = _beam_batch(params, b[0], None, b[1], spec)
-jax.block_until_ready(out)
+    # hard host data dependency per iteration: on some days the axon
+    # runtime's block_until_ready returns early, inflating throughput —
+    # fetching a reduction of the result cannot lie
+    sums.append(int(jax.device_get(out["lengths"].sum())))
 dt = time.perf_counter() - t0
 print(json.dumps({
     "attention": attention, "max_steps": max_steps, "batch": batch, "k": k,

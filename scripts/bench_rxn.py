@@ -54,9 +54,12 @@ n_iter = 3
 batches = [inputs(i + 1) for i in range(n_iter)]
 jax.block_until_ready(batches)
 t0 = time.perf_counter()
+sums = []
 for b in batches:
     out = run(*b)
-jax.block_until_ready(out)
+    # hard host data dependency per iteration (axon block_until_ready
+    # intermittently returns early — see bench.py)
+    sums.append(int(jax.device_get(out["seqs"].sum())))
 dt = time.perf_counter() - t0
 print(json.dumps({
     "mode": mode, "k": k, "batch": batch, "max_steps": max_steps,

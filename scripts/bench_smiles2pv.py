@@ -42,9 +42,12 @@ n_iter = 5
 batches = [inputs(i + 1) for i in range(n_iter)]
 jax.block_until_ready(batches)
 t0 = time.perf_counter()
+sums = []
 for b in batches:
     out = predict_pv(params, b[0], b[1], bf16=bf16)
-jax.block_until_ready(out)
+    # hard host data dependency per iteration (axon block_until_ready
+    # intermittently returns early — see bench.py)
+    sums.append(float(jax.device_get(jnp.abs(out).sum())))
 dt = time.perf_counter() - t0
 print(json.dumps({
     "batch": batch, "seq_len": seq_len, "bf16": bf16,
