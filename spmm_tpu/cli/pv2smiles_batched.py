@@ -77,6 +77,8 @@ def main(argv=None):
     p.add_argument("--data_range", type=int, nargs=2, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--output_file", default="generated_molecules.txt")
+    p.add_argument("--kv_fp8", action="store_true",
+                   help="store the decode KV cache in float8_e4m3fn; measured 2.1x SLOWER than bf16 on v5e (no native fp8 datapath — upconversion swamps the DMA saving), kept for newer TPUs")
     p.add_argument("--novelty_corpus", default=None,
                    help="corpus file to compute novelty against")
     args = p.parse_args(argv)
@@ -105,7 +107,8 @@ def main(argv=None):
           f"with k={args.k}...")
     cands = generate_batched(params, tok, np.stack(pvs), k=args.k,
                              stochastic=args.stochastic, seed=seed,
-                             device_batch=device_batch, mesh=mesh)
+                             device_batch=device_batch, mesh=mesh,
+                             kv_fp8=args.kv_fp8)
     metric_eval(sources, cands, stats, args.output_file,
                 novelty_corpus=args.novelty_corpus)
 

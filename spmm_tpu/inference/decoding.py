@@ -187,9 +187,11 @@ def _pallas_beam_attention(q_m, k_m, v_m, cache, self_mask, pos, layer):
     block_m = next(b for b in (32, 16, 8, 4, 2, 1)
                    if m % b == 0 and 4 * b * slab_bytes_per_row <= budget)
     interpret = jax.default_backend() != "tpu"
+    # fp8 cache: q/k/v enter in bf16 (the kernel quantizes only the
+    # appended K/V row; scores/probs never round-trip through e4m3)
+    cdt = jnp.bfloat16 if cache.dtype.itemsize == 1 else cache.dtype
     return beam_decode_attention(
-        q_m.astype(cache.dtype), k_m.astype(cache.dtype),
-        v_m.astype(cache.dtype), cache,
+        q_m.astype(cdt), k_m.astype(cdt), v_m.astype(cdt), cache,
         self_mask[:, 0].astype(jnp.float32), pos, layer=layer,
         block_m=block_m, interpret=interpret)
 

@@ -119,7 +119,10 @@ def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
     kc = kbuf[slot]                                       # [MB, h, T, FD]
     vc = vbuf[slot]
     kc_f = kc.astype(jnp.float32).reshape(mb * h, T, fd)
-    vc_f = vc.reshape(mb * h, T, fd)
+    # probs@V compute dtype: never fp8 (casting softmax probabilities to
+    # e4m3 would destroy them); fp8 cache values upcast exactly to bf16
+    cdt = jnp.bfloat16 if vc.dtype.itemsize == 1 else vc.dtype
+    vc_f = vc.astype(cdt).reshape(mb * h, T, fd)
     # lane-block masks: lane c belongs to beam lane c // head_dim
     lane_of = jax.lax.broadcasted_iota(jnp.int32, (1, 1, fd), 2) // head_dim
 
@@ -139,7 +142,7 @@ def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
         e_s = jnp.exp(ss - mx)
         den = jnp.sum(jnp.sum(e_q, axis=3), axis=2) + e_s
         out = jax.lax.dot_general(
-            e_q.reshape(mb * h, k, T).astype(vc.dtype), vc_f,
+            e_q.reshape(mb * h, k, T).astype(cdt), vc_f,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(mb, h, k, fd)
@@ -155,7 +158,8 @@ def _kernel(pos_ref,            # scalar prefetch: [1] int32 position
     window_copy(0, 0).wait()
     window_copy(1, 0).wait()
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 8, 1), 3)
-    wbuf[...] = jnp.where(row_ids == pos - pa, knv_ref[...], wbuf[...])
+    wbuf[...] = jnp.where(row_ids == pos - pa,
+                          knv_ref[...].astype(wbuf.dtype), wbuf[...])
     window_copy(0, 1).start()
     window_copy(1, 1).start()
     window_copy(0, 1).wait()

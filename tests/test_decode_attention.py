@@ -72,6 +72,89 @@ def test_kernel_matches_xla(k, dtype):
     np.testing.assert_array_equal(got_c[:, layer + 1:], expect[:, layer + 1:])
 
 
+def test_kernel_fp8_cache():
+    """fp8 KV cache: kernel must match the XLA formulation computed over the
+    SAME quantized cache values (fp8 upcasts exactly, so the only rounding
+    is at storage), and the append must store e4m3-quantized K/V."""
+    from spmm_tpu.ops.decode_attention import fold_dim
+
+    fp8 = jnp.float8_e4m3fn
+    k = 2
+    m, h, L, T, d = 4, 3, 2, 24, 64
+    layer, pos = 1, 11
+    fd = fold_dim(k, d)
+    rng = np.random.default_rng(3)
+
+    unfolded = jnp.asarray(rng.normal(size=(2, L, m, h, k, T, d)),
+                           jnp.bfloat16).astype(fp8)
+    cache = fold_cache(unfolded, fd)
+    q = jnp.asarray(rng.normal(size=(m, h, k, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(m, h, k, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(m, h, k, d)), jnp.bfloat16)
+
+    anc = jnp.asarray(rng.integers(0, k, size=(m, k, T)), jnp.int32)
+    key_valid = (jnp.arange(T)[None, None, :] <
+                 jnp.asarray(rng.integers(pos - 2, pos + 1, size=(m, k, 1))))
+    prefix_valid = key_valid & (jnp.arange(T)[None, None, :] < pos)
+    mask5 = _ancestry_mask(anc, prefix_valid.astype(jnp.int32))
+
+    want_ctx = _beam_attention(
+        q, unfolded[0, layer].astype(q.dtype),
+        unfolded[1, layer].astype(q.dtype), mask5, kn, vn)
+
+    ctx, new_cache = beam_decode_attention(
+        q, kn, vn, cache, mask5[:, 0].astype(jnp.float32),
+        jnp.int32(pos), layer=layer, block_m=2, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(ctx, np.float32),
+                               np.asarray(want_ctx, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    got_row = np.asarray(
+        new_cache[0, layer, :, :, pos, : k * d].astype(jnp.float32))
+    want_row = np.asarray(
+        jnp.moveaxis(kn.astype(fp8), 2, -2).reshape(m, h, k * d)
+        .astype(jnp.float32))
+    np.testing.assert_array_equal(got_row, want_row)
+
+
+def test_beam_search_fp8_pallas_matches_xla():
+    """Full beam search with a float8_e4m3fn cache: the pallas path must
+    reproduce the XLA path exactly (both quantize appended rows the same
+    way; fp8 values upcast exactly)."""
+    import dataclasses
+
+    from spmm_tpu.configs import BertArchConfig
+    from spmm_tpu.inference.decoding import BeamSpec, beam_search_batched
+    from spmm_tpu.models import bert as jbert
+
+    cfg = BertArchConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2, fusion_layer=1,
+        encoder_width=64, add_cross_attention=True)
+    rng = jax.random.PRNGKey(7)
+    params = jbert.init_mlm_params(rng, cfg)
+    m = 4
+    enc = jax.random.normal(jax.random.fold_in(rng, 1), (m, 6, cfg.hidden_size))
+    enc_mask = jnp.ones((m, 6), jnp.int32)
+    rngs = jax.random.split(jax.random.fold_in(rng, 2), m)
+
+    spec = BeamSpec(k=2, stop_count=4, stochastic=False, max_steps=12,
+                    attention="xla")
+    f = jax.jit(beam_search_batched,
+                static_argnames=("cfg", "spec", "cache_dtype"))
+    want = jax.device_get(f(params, cfg, enc, enc_mask, spec, rngs,
+                            cache_dtype=jnp.float8_e4m3fn))
+    got = jax.device_get(f(params, cfg, enc, enc_mask,
+                           dataclasses.replace(spec, attention="pallas"),
+                           rngs, cache_dtype=jnp.float8_e4m3fn))
+    np.testing.assert_array_equal(got["seqs"], want["seqs"])
+    # the kernel's probs@V runs in bf16 whenever the cache is fp8, while the
+    # fp32-model XLA path accumulates in fp32 — logp drifts ~1e-3/step
+    np.testing.assert_allclose(got["logp"], want["logp"], atol=0.05)
+    np.testing.assert_array_equal(got["n_finished"], want["n_finished"])
+
+
 def test_beam_search_pallas_matches_xla():
     """Full beam_search_batched: attention='pallas' (interpret mode on CPU)
     must reproduce the XLA path exactly — seqs, logp, harvest counts."""
