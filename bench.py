@@ -398,6 +398,7 @@ def main():
     # the batch outright.  A wall-clock budget bounds the ladder: every
     # failed rung costs a full-size compile (~6-10 min).
     rung_deadline = time.monotonic() + 2 * PRETRAIN_TIMEOUT_S
+    best_value = None
     for bs, accum in ((64, 1), (96, 1), (64, 2), (96, 2), (32, 1), (16, 1)):
         if time.monotonic() > rung_deadline:
             print("pretrain bench: rung time budget exhausted",
@@ -415,8 +416,28 @@ def main():
                 out.seek(0)
                 lines = [ln for ln in out.read().splitlines() if ln.strip()]
             if r.returncode == 0 and lines and lines[-1].startswith("{"):
-                pretrain_line = lines[-1]
-                break
+                rec = json.loads(lines[-1])
+                # shared-chip measurement sanity: the axon runtime has
+                # produced both physically-impossible fast timings
+                # (block_until_ready returning early -> "MFU" 3.4) and
+                # pathological slow ones (52 s/step at a config that runs
+                # in ~1 s); keep the best PLAUSIBLE rung instead of the
+                # first one that merely completes
+                mfu_v = rec.get("mfu")
+                if mfu_v is not None and mfu_v > 0.85:
+                    print(f"pretrain rung bs={bs} accum={accum}: "
+                          f"implausible mfu={mfu_v}, discarded",
+                          file=sys.stderr)
+                    continue
+                if best_value is None or rec["value"] > best_value:
+                    best_value = rec["value"]
+                    pretrain_line = lines[-1]
+                if rec["value"] >= 100:      # clearly healthy measurement
+                    break
+                print(f"pretrain rung bs={bs} accum={accum}: suspiciously "
+                      f"slow ({rec['value']} samples/s), trying next rung",
+                      file=sys.stderr)
+                continue
             print(f"pretrain bench at batch {bs} accum {accum}: "
                   f"rc={r.returncode}", file=sys.stderr)
         except Exception as e:
