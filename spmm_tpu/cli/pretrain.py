@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state + EMA over the dp mesh "
                         "(ZeRO-1; params stay replicated)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel factor: devices form a 2-D dp x tp "
+                        "mesh and params/EMA/optimizer state are "
+                        "Megatron-sharded over tp (parallel/tp.py); must "
+                        "divide the head count (12); mutually exclusive "
+                        "with --zero1")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step "
                         "(activation peak scales with batch/accum; in-batch "
@@ -63,8 +69,16 @@ def main(argv=None):
 
     seed = seed_everything(args.seed)
     tok = make_tokenizer()
-    mesh = data_parallel_mesh()
-    n_dev = mesh.devices.size
+    if args.tp > 1:
+        from spmm_tpu.configs import text_config
+        from spmm_tpu.parallel.tp import assert_tp_compatible, dp_tp_mesh
+
+        assert not args.zero1, "--tp and --zero1 are mutually exclusive"
+        assert_tp_compatible(text_config(), args.tp)
+        mesh = dp_tp_mesh(tp=args.tp)
+    else:
+        mesh = data_parallel_mesh()
+    n_dev = dict(mesh.shape)["dp"]   # dp extent: per-device batch is per dp shard
     global_bs = args.batch_size * n_dev
     assert args.queue_size % global_bs == 0, (
         "queue_size must divide by global batch")
@@ -92,6 +106,12 @@ def main(argv=None):
         from spmm_tpu.training.pretrain import pretrain_state_shardings
 
         state = jax.device_put(state, pretrain_state_shardings(state, mesh))
+    elif args.tp > 1:
+        # Megatron layout for params/EMA and (by dict-path match through the
+        # optax tree) the Adam moments; queue/step fall through to replicated
+        from spmm_tpu.parallel.tp import tp_shardings
+
+        state = jax.device_put(state, tp_shardings(state, mesh))
     else:
         state = jax.device_put(state, replicated(mesh))
     # NOTE: donate=True saves ~2GB HBM but triggers INVALID_ARGUMENT at
@@ -132,7 +152,7 @@ def main(argv=None):
                 m = np.mean(losses[-50:], axis=0)
                 dt = time.time() - t0
                 step_time = dt / 50
-                util = mfu(flops_per_step, step_time, n_dev)
+                util = mfu(flops_per_step, step_time, mesh.devices.size)
                 util_s = f" mfu {util:.1%}" if util else ""
                 print(f"step {step} lr {float(metrics['lr']):.2e} "
                       f"mlm {m[0]:.4f} mpm {m[1]:.4f} ita {m[2]:.4f} "

@@ -174,7 +174,7 @@ def pretrain_state_shardings(state: Params, mesh) -> Params:
     per-chip batch 96 / SPMM_pretrain.py:16 on 16G chips)."""
     from jax.sharding import NamedSharding
 
-    n_dev = mesh.devices.size
+    n_dev = dict(mesh.shape)[DP_AXIS]
     repl = NamedSharding(mesh, P())
 
     def shard_tree(tree):
@@ -477,6 +477,19 @@ def make_pretrain_step(
         pcfg.lr, pcfg.min_lr, pcfg.warmup_lr, pcfg.epochs,
         pcfg.warmup_epochs, steps_per_epoch, step_size=100)
 
+    # dp is the mesh's manual axis (explicit pmean/all_gather below — DDP
+    # semantics); any further axes ('tp') stay under GSPMD, so params placed
+    # with Megatron shardings (parallel/tp.py) are tensor-parallel INSIDE
+    # each dp shard with compiler-inserted all-reduces.  dp-dependent sizes
+    # (queue layout, ZeRO-1 leaf sharding) use the dp extent, not the device
+    # count.
+    dp_size = dict(mesh.shape)[DP_AXIS]
+    if pcfg.zero1 and mesh.devices.size != dp_size:
+        raise ValueError(
+            "zero1 + tensor parallelism are not composed: ZeRO-1 shards "
+            "state leaves over dp while tp shards them over tp — pick one "
+            "(tp already splits the optimizer state with the params)")
+
     def local_grads(params, ema, queue, batch, rng, alpha):
         # per-shard rng (distinct dropout/masking per device, like DDP ranks)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
@@ -497,6 +510,7 @@ def make_pretrain_step(
         local_grads, mesh=mesh,
         in_specs=(P(), P(), P(), P(DP_AXIS), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
+        axis_names={DP_AXIS},
         check_vma=False,
     )
 
@@ -518,10 +532,9 @@ def make_pretrain_step(
         ema = ema_update(state["ema"], state["params"], pcfg.momentum)
         if pcfg.zero1:
             from jax.sharding import NamedSharding
-            n_dev = mesh.devices.size
             ema = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, _zero1_spec(x, n_dev))), ema)
+                    x, NamedSharding(mesh, _zero1_spec(x, dp_size))), ema)
 
         if accum == 1:
             grads, loss, metrics, prop_feats, text_feats = sharded_grads(
@@ -593,10 +606,9 @@ def make_pretrain_step(
             (state["params"], state["opt_state"], state["queue"]))
         if pcfg.zero1:
             from jax.sharding import NamedSharding
-            n_dev = mesh.devices.size
             new_opt = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, _zero1_spec(x, n_dev))), new_opt)
+                    x, NamedSharding(mesh, _zero1_spec(x, dp_size))), new_opt)
 
         new_state = {
             "params": new_params,

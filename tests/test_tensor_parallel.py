@@ -140,6 +140,66 @@ def test_downstream_train_step_tp_matches_single(tiny_cfg, mesh):
                  params_tp, params_1)
 
 
+def test_pretrain_step_dp_tp_matches_dp(tiny_cfg):
+    """The FULL pretrain train step (shard_map manual over dp, GSPMD-auto
+    over tp) on a dp=4 x tp=2 mesh must match the 1-D dp=4 mesh exactly:
+    the dp semantics (per-shard negatives, queue order) depend only on the
+    dp extent, and tp is a pure layout change."""
+    from spmm_tpu.configs import PretrainConfig
+    from spmm_tpu.parallel.mesh import data_parallel_mesh
+    from spmm_tpu.parallel.tp import tp_shardings
+    from spmm_tpu.training.pretrain import (
+        init_pretrain_state, make_pretrain_step,
+    )
+
+    prop_cfg = BertArchConfig(
+        **{**TINY, "vocab_size": 1, "num_hidden_layers": 2},
+        add_cross_attention=False)
+    pcfg = PretrainConfig(embed_dim=16, queue_size=64, batch_size=2,
+                          warmup_epochs=2)
+    state = init_pretrain_state(jax.random.PRNGKey(0), pcfg, tiny_cfg,
+                                prop_cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    batch = {
+        "prop": jax.random.normal(k2, (8, 53)),
+        "ids": jax.random.randint(k1, (8, 12), 4, 300).at[:, 0].set(2),
+        "mask": jnp.ones((8, 12), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(2)
+
+    mesh_dp = data_parallel_mesh(4)
+    step_dp = make_pretrain_step(mesh_dp, pcfg, steps_per_epoch=10,
+                                 text_cfg=tiny_cfg, prop_cfg=prop_cfg)
+    s_dp, m_dp = step_dp(state, batch, rng)
+
+    mesh_tp = dp_tp_mesh(dp=4, tp=2)
+    step_tp = make_pretrain_step(mesh_tp, pcfg, steps_per_epoch=10,
+                                 text_cfg=tiny_cfg, prop_cfg=prop_cfg)
+    state_tp = jax.device_put(state, tp_shardings(state, mesh_tp))
+    s_tp, m_tp = step_tp(state_tp, batch, rng)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
+                               atol=1e-5, rtol=0)
+    assert int(s_tp["queue"]["ptr"]) == int(s_dp["queue"]["ptr"]) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=0),
+        jax.device_get(s_tp["params"]), jax.device_get(s_dp["params"]))
+    np.testing.assert_allclose(
+        np.asarray(s_tp["queue"]["prop"]), np.asarray(s_dp["queue"]["prop"]),
+        atol=1e-5, rtol=0)
+
+
+def test_pretrain_zero1_tp_rejected(tiny_cfg):
+    from spmm_tpu.configs import PretrainConfig
+    from spmm_tpu.training.pretrain import make_pretrain_step
+
+    with pytest.raises(ValueError, match="zero1"):
+        make_pretrain_step(dp_tp_mesh(dp=4, tp=2),
+                           PretrainConfig(zero1=True), steps_per_epoch=10,
+                           text_cfg=tiny_cfg, prop_cfg=tiny_cfg)
+
+
 def test_predict_pv_dp_tp_matches_single(tiny_cfg, mesh):
     """The full smiles2pv 53-step (here 5-step) decode under dp x tp."""
     from spmm_tpu.inference.smiles2pv import predict_pv
