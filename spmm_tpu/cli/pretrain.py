@@ -55,6 +55,11 @@ def main(argv=None):
                         "Megatron-sharded over tp (parallel/tp.py); must "
                         "divide the head count (12); mutually exclusive "
                         "with --zero1")
+    p.add_argument("--sp", action="store_true",
+                   help="Megatron sequence parallelism on top of --tp: the "
+                        "residual-stream LayerNorm/dropout regions run "
+                        "seq-sharded over the tp group (parallel/sp.py); "
+                        "requires --tp > 1")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step "
                         "(activation peak scales with batch/accum; in-batch "
@@ -69,6 +74,9 @@ def main(argv=None):
 
     seed = seed_everything(args.seed)
     tok = make_tokenizer()
+    if args.sp and args.tp <= 1:
+        p.error("--sp requires --tp > 1 (sequence parallelism shards over "
+                "the tensor-parallel group)")
     if args.tp > 1:
         from spmm_tpu.configs import text_config
         from spmm_tpu.parallel.tp import assert_tp_compatible, dp_tp_mesh
@@ -118,7 +126,8 @@ def main(argv=None):
     # execution time on the axon remote-TPU runtime; enable it on standard
     # PJRT TPU runtimes via --donate
     step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch,
-                                 donate=args.donate, accum=args.accum)
+                                 donate=args.donate, accum=args.accum,
+                                 sp=args.sp)
     rng = jax.random.PRNGKey(seed + 1)
     logger = MetricLogger(args.metrics_log
                           or f"{args.output_dir}/metrics.jsonl")

@@ -42,6 +42,7 @@ from spmm_tpu.ops.masks import (
     extend_causal_mask,
     invert_encoder_mask,
 )
+from spmm_tpu.parallel.sp import constrain as _sp_constrain
 
 Params = dict[str, Any]
 
@@ -110,6 +111,8 @@ def embeddings_forward(
     seq_len = inputs_embeds.shape[1]
     positions = position_offset + jnp.arange(seq_len)
     x = inputs_embeds + p["position"][positions] + p["token_type"][0]
+    # Megatron-SP entry point: seq-shard the residual stream from the start
+    x = _sp_constrain(x)
     x = layer_norm(p["ln"], x, cfg.layer_norm_eps)
     return _dropout(x, cfg.hidden_dropout_prob, rng, deterministic)
 
@@ -148,8 +151,12 @@ def attention_block(
         dropout_rng=r0, deterministic=deterministic, impl=attention_impl,
     )
     out = dense(p["out"], merge_heads(ctx))
+    # Megatron-SP boundary: under parallel.sp.sequence_parallel the exit of
+    # the row-parallel out projection is reduce-scattered along seq and the
+    # dropout+residual+LN run seq-sharded (no-op otherwise)
+    out = _sp_constrain(out)
     out = _dropout(out, cfg.hidden_dropout_prob, r1, deterministic)
-    return layer_norm(p["ln"], out + hidden, cfg.layer_norm_eps)
+    return _sp_constrain(layer_norm(p["ln"], out + hidden, cfg.layer_norm_eps))
 
 
 def mlp_block(
@@ -162,8 +169,10 @@ def mlp_block(
     """Intermediate GELU + output dense + residual LN (reference xbert.py:425-451)."""
     up = gelu(dense(p["up"], hidden))
     down = dense(p["down"], up)
+    # Megatron-SP boundary (see attention_block)
+    down = _sp_constrain(down)
     down = _dropout(down, cfg.hidden_dropout_prob, rng, deterministic)
-    return layer_norm(p["ln"], down + hidden, cfg.layer_norm_eps)
+    return _sp_constrain(layer_norm(p["ln"], down + hidden, cfg.layer_norm_eps))
 
 
 def layer_forward(

@@ -453,6 +453,7 @@ def make_pretrain_step(
     prop_cfg: Optional[BertArchConfig] = None,
     donate: bool = False,
     accum: int = 1,
+    sp: bool = False,
 ):
     """Builds the jitted data-parallel train step.
 
@@ -469,6 +470,12 @@ def make_pretrain_step(
     semantics of running the reference's DDP on N-fold more ranks (per-rank
     in-batch negatives, SURVEY §2.3); the queue still receives every
     momentum feature of the full global batch.
+
+    ``sp=True`` adds Megatron-style sequence parallelism on top of tensor
+    parallelism: the residual-stream LayerNorm/dropout regions are sharded
+    along the sequence dim over the mesh's 'tp' axis (parallel/sp.py).
+    Requires a mesh with a 'tp' axis; numerics are unchanged
+    (tests/test_sequence_parallel.py).
     """
     text_cfg = text_cfg or text_config()
     prop_cfg = prop_cfg or property_config()
@@ -490,13 +497,30 @@ def make_pretrain_step(
             "state leaves over dp while tp shards them over tp — pick one "
             "(tp already splits the optimizer state with the params)")
 
+    if sp:
+        from spmm_tpu.parallel.sp import sequence_parallel
+        from spmm_tpu.parallel.tp import TP_AXIS
+        if TP_AXIS not in mesh.axis_names:
+            raise ValueError("sp=True requires a mesh with a 'tp' axis "
+                             "(sequence parallelism shards over the tensor-"
+                             f"parallel group); got {mesh.axis_names}")
+
+        def _sp_ctx():
+            return sequence_parallel(mesh)
+    else:
+        from contextlib import nullcontext
+
+        def _sp_ctx():
+            return nullcontext()
+
     def local_grads(params, ema, queue, batch, rng, alpha):
         # per-shard rng (distinct dropout/masking per device, like DDP ranks)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
         grad_fn = jax.value_and_grad(pretrain_loss, has_aux=True)
-        (loss, aux), grads = grad_fn(
-            params, ema, queue, batch, rng, alpha,
-            text_cfg, prop_cfg, pcfg)
+        with _sp_ctx():
+            (loss, aux), grads = grad_fn(
+                params, ema, queue, batch, rng, alpha,
+                text_cfg, prop_cfg, pcfg)
         grads = jax.lax.pmean(grads, DP_AXIS)
         loss = jax.lax.pmean(loss, DP_AXIS)
         metrics = {k: jax.lax.pmean(aux[k], DP_AXIS)
