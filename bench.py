@@ -347,6 +347,12 @@ def _load_baseline(key: str, max_steps: int):
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cache = json.load(f)
+    if cache.get("k", K) != K:
+        # cached numbers were measured at a different beam width: the
+        # vs_baseline ratio would silently compare unlike workloads
+        print(f"baseline cache k={cache.get('k')} != current K={K}; "
+              "re-measuring", file=sys.stderr)
+        cache = {}
     if key in cache:
         return cache[key]
     try:

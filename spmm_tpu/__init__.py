@@ -9,7 +9,7 @@ generation, MoleculeNet fine-tuning, and USPTO reaction prediction.
 Layout:
   spmm_tpu.configs     — architecture + run configuration (dataclasses)
   spmm_tpu.tokenizer   — wordpiece SMILES tokenizer (host-side, static-shape)
-  spmm_tpu.models      — Flax modules: chem BERT core, SPMM, rxn, downstream
+  spmm_tpu.models      — pure-functional models: chem BERT core, SPMM, rxn, downstream
   spmm_tpu.ops         — Pallas TPU kernels + XLA fallbacks
   spmm_tpu.parallel    — mesh / sharding / collective helpers
   spmm_tpu.chem        — featurization (RDKit-gated) + pure-python SMILES utils

@@ -72,11 +72,11 @@ def main(argv=None):
                    help="JSONL metrics path (default <output_dir>/metrics.jsonl)")
     args = p.parse_args(argv)
 
-    seed = seed_everything(args.seed)
-    tok = make_tokenizer()
     if args.sp and args.tp <= 1:
         p.error("--sp requires --tp > 1 (sequence parallelism shards over "
                 "the tensor-parallel group)")
+    seed = seed_everything(args.seed)
+    tok = make_tokenizer()
     if args.tp > 1:
         from spmm_tpu.configs import text_config
         from spmm_tpu.parallel.tp import assert_tp_compatible, dp_tp_mesh

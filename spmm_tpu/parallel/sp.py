@@ -28,14 +28,20 @@ axes.  So :func:`sequence_parallel` builds a *constraint twin* of the
 mesh — same devices and axis names, dp retyped Manual — used only inside
 the trace; the caller's placement mesh stays all-Auto.
 
-Activate the context inside the function being traced (it must be live at
-trace time, and the jit cache does not key on it)::
+CONTRACT — fresh jits only.  The context is read at TRACE time and the jit
+cache does NOT key on it: calling an already-compiled function inside the
+context silently serves the unconstrained executable (and vice versa — an
+executable first traced inside the context keeps its constraints forever).
+Only wrap code that is traced fresh under the context: a jit created inside
+it, or a not-yet-compiled one.  Library code honors this by construction —
+the single consumer is ``make_pretrain_step(sp=True)``, which builds a new
+jit per call and enters the context inside the traced body::
 
     with sequence_parallel(mesh):                  # inside a dp shard_map
         loss = pretrain_loss(...)
 
     with sequence_parallel(mesh, batch_axis='dp'): # pure-GSPMD (no shard_map)
-        logits = downstream_forward(...)
+        logits = jax.jit(downstream_forward)(...)  # jit created HERE
 """
 
 from __future__ import annotations

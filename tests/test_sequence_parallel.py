@@ -121,3 +121,65 @@ def test_pretrain_step_sp_matches_dp(tiny_cfg):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=0),
         jax.device_get(s_sp["params"]), jax.device_get(s_dp["params"]))
+
+
+def _tiny_pretrain_fixture():
+    prop_cfg = BertArchConfig(
+        **{**TINY, "vocab_size": 1, "num_hidden_layers": 2},
+        add_cross_attention=False)
+    tiny_cfg = BertArchConfig(**TINY, add_cross_attention=True)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    batch = {
+        "prop": jax.random.normal(k2, (8, 53)),
+        "ids": jax.random.randint(k1, (8, 16), 4, 300).at[:, 0].set(2),
+        "mask": jnp.ones((8, 16), jnp.int32),
+    }
+    return tiny_cfg, prop_cfg, batch
+
+
+def test_pretrain_step_sp_composes_with_remat_and_accum():
+    """sp=True is a pure layout change under the CLI-reachable composition
+    --remat --accum 2 too: dp=4 x tp=2 + sp == 1-D dp=4, same flags."""
+    tiny_cfg, prop_cfg, batch = _tiny_pretrain_fixture()
+    pcfg = PretrainConfig(embed_dim=16, queue_size=64, batch_size=2,
+                          warmup_epochs=2, remat=True)
+    state = init_pretrain_state(jax.random.PRNGKey(0), pcfg, tiny_cfg,
+                                prop_cfg)
+    rng = jax.random.PRNGKey(2)
+
+    step_dp = make_pretrain_step(data_parallel_mesh(4), pcfg,
+                                 steps_per_epoch=10, text_cfg=tiny_cfg,
+                                 prop_cfg=prop_cfg, accum=2)
+    s_dp, m_dp = step_dp(state, batch, rng)
+
+    mesh_tp = dp_tp_mesh(dp=4, tp=2)
+    step_sp = make_pretrain_step(mesh_tp, pcfg, steps_per_epoch=10,
+                                 text_cfg=tiny_cfg, prop_cfg=prop_cfg,
+                                 accum=2, sp=True)
+    state_sp = jax.device_put(state, tp_shardings(state, mesh_tp))
+    s_sp, m_sp = step_sp(state_sp, batch, rng)
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
+                               atol=1e-5, rtol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=0),
+        jax.device_get(s_sp["params"]), jax.device_get(s_dp["params"]))
+
+
+def test_pretrain_step_sp_bf16_smoke():
+    """--bf16 --tp 2 --sp compiles and produces a finite loss (bf16 changes
+    reduction numerics, so this is a smoke test, not an equivalence test)."""
+    tiny_cfg, prop_cfg, batch = _tiny_pretrain_fixture()
+    pcfg = PretrainConfig(embed_dim=16, queue_size=64, batch_size=2,
+                          warmup_epochs=2, bf16_compute=True)
+    state = init_pretrain_state(jax.random.PRNGKey(0), pcfg, tiny_cfg,
+                                prop_cfg)
+    mesh_tp = dp_tp_mesh(dp=4, tp=2)
+    step_sp = make_pretrain_step(mesh_tp, pcfg, steps_per_epoch=10,
+                                 text_cfg=tiny_cfg, prop_cfg=prop_cfg,
+                                 sp=True)
+    state_sp = jax.device_put(state, tp_shardings(state, mesh_tp))
+    s_sp, m_sp = step_sp(state_sp, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m_sp["loss"]))
+    assert int(s_sp["step"]) == 1
