@@ -1,0 +1,232 @@
+"""Dynamic-batching serving layer over the static-shape jitted workloads.
+
+Every device program in this framework is a fixed-shape XLA executable,
+compiled once (static shapes everywhere — the repo-wide convention).
+Online traffic, by contrast, arrives one request at a time.  This module bridges
+the two the way production TPU serving stacks do:
+
+- a background worker coalesces requests into **fixed-size batches** —
+  a batch launches when it is full OR when the oldest request has waited
+  ``max_wait_ms``, whichever comes first;
+- short batches are padded by repeating a real request, so the device
+  only ever sees ONE shape (no recompiles, padded rows discarded on the
+  host before the futures resolve);
+- one device program runs per batch; each caller gets a
+  ``concurrent.futures.Future`` that resolves to its own result.
+
+The reference has no serving surface at all — every d_*.py is an offline
+script (SURVEY §1 L7); this is framework capability beyond parity.
+Throughput-vs-latency is the usual trade: ``batch_size`` should be the
+measured device sweet spot (128 for the v5e beam decode, bench.py sweep)
+and ``max_wait_ms`` bounds the tail latency a lone request can add.
+
+Concrete services wrap the two generation workloads:
+
+- :class:`Pv2SmilesService` — property vector -> SMILES, deterministic
+  k-beam with the file-mode stop rule (reference d_pv2smiles_batched.py).
+- :class:`Smiles2PvService` — SMILES -> 53-property vector (reference
+  d_smiles2pv.py), one fixed-length bucket.
+
+Both are thin ``BatchingService`` subclasses; any other jittable batch
+function (rxn prediction, classification heads) serves the same way.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+
+Params = dict[str, Any]
+
+
+class BatchingService:
+    """Generic request coalescer: submit items, get Futures, a worker
+    thread runs ``batch_fn`` on fixed-size padded batches.
+
+    ``batch_fn(items)`` is always called with EXACTLY ``batch_size`` items
+    (short batches padded by repeating the last real item) and must return
+    one result per item, in order.  Exceptions propagate to every future
+    of the failing batch.
+    """
+
+    def __init__(self, batch_fn: Callable[[list], Sequence],
+                 batch_size: int, max_wait_ms: float = 25.0):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self._batch_fn = batch_fn
+        self._batch_size = batch_size
+        self._max_wait = max_wait_ms / 1000.0
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._closed = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._worker = threading.Thread(
+            target=self._loop, name=type(self).__name__, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ #
+    # client surface
+    # ------------------------------------------------------------------ #
+
+    def submit(self, item) -> Future:
+        if self._closed.is_set():
+            raise RuntimeError(f"{type(self).__name__} is closed")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def map(self, items: Sequence) -> list:
+        """Submit all items, block until every result is in (order kept)."""
+        return [f.result() for f in [self.submit(it) for it in items]]
+
+    def close(self) -> None:
+        """Stop accepting requests, drain the queue, join the worker."""
+        self._closed.set()
+        self._worker.join()
+        # a submit() racing close() can enqueue after the worker exits;
+        # fail those futures loudly instead of stranding their callers
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(
+                RuntimeError(f"{type(self).__name__} closed during submit"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------ #
+    # worker
+    # ------------------------------------------------------------------ #
+
+    def _loop(self) -> None:
+        while True:
+            try:
+                batch = [self._q.get(timeout=0.05)]
+            except queue.Empty:
+                if self._closed.is_set():
+                    return
+                continue
+            deadline = time.monotonic() + self._max_wait
+            while len(batch) < self._batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            items = [it for it, _ in batch]
+            futures = [f for _, f in batch]
+            n = len(items)
+            padded = items + [items[-1]] * (self._batch_size - n)
+            try:
+                results = self._batch_fn(padded)
+                for fut, res in zip(futures, results):
+                    fut.set_result(res)
+            except Exception as exc:  # noqa: BLE001 — futures carry it
+                for fut in futures:
+                    fut.set_exception(exc)
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["padded_slots"] += self._batch_size - n
+
+
+class Pv2SmilesService(BatchingService):
+    """PV -> SMILES serving: submit a z-normalized [53] property vector,
+    receive the generated SMILES string.
+
+    Deterministic k-beam with the file-mode stop rule (stop_count=k,
+    reference d_pv2smiles_batched.py:45); best beam returned.  One XLA
+    program per batch; with ``mesh`` the batch shards over its dp axis
+    (batch_size must then divide the mesh size).
+    """
+
+    def __init__(self, params: Params, tok, *, k: int = 2,
+                 batch_size: int = 128, max_wait_ms: float = 25.0,
+                 mesh=None, text_cfg=None, prop_cfg=None, seed: int = 0,
+                 bf16: bool = True, kv_fp8: bool = False):
+        import jax
+
+        from spmm_tpu.inference.decoding import BeamSpec
+        from spmm_tpu.inference.pv2smiles import _beam_batch, _decode_beams
+
+        spec = BeamSpec(k=k, stop_count=k, stochastic=False)
+        master = jax.random.PRNGKey(seed)
+        counter = itertools.count()
+        if mesh is not None:
+            from spmm_tpu.parallel.mesh import batch_sharding, replicated
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the "
+                    f"{mesh.devices.size}-device mesh")
+            params = jax.device_put(params, replicated(mesh))
+
+        def batch_fn(pvs: list) -> list[str]:
+            pv = np.stack([np.asarray(p, np.float32) for p in pvs])
+            rngs = jax.random.split(
+                jax.random.fold_in(master, next(counter)), batch_size)
+            pv_d, rngs_d = pv, rngs
+            if mesh is not None:
+                pv_d = jax.device_put(pv, batch_sharding(mesh))
+                rngs_d = jax.device_put(rngs, batch_sharding(mesh))
+            result = jax.device_get(_beam_batch(
+                params, pv_d, None, rngs_d, spec, text_cfg, prop_cfg,
+                bf16=bf16, kv_fp8=kv_fp8))
+            return [_decode_beams(tok, result, i, k, False, None)
+                    for i in range(batch_size)]
+
+        super().__init__(batch_fn, batch_size, max_wait_ms)
+
+
+class Smiles2PvService(BatchingService):
+    """SMILES -> PV serving: submit a SMILES string, receive the 53-entry
+    property vector (denormalized when ``stats`` is given, else normalized).
+
+    One fixed-length bucket (``max_len``) so the device sees one shape
+    (reference d_smiles2pv.py truncates at 100 likewise).
+    """
+
+    def __init__(self, params: Params, tok, *, stats=None,
+                 batch_size: int = 128, max_wait_ms: float = 25.0,
+                 max_len: int = 100, mesh=None, text_cfg=None,
+                 prop_cfg=None, bf16: bool = False):
+        import jax
+
+        from spmm_tpu.inference.smiles2pv import predict_pv
+
+        if mesh is not None:
+            from spmm_tpu.parallel.mesh import batch_sharding, replicated
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the "
+                    f"{mesh.devices.size}-device mesh")
+            params = jax.device_put(params, replicated(mesh))
+        norm_stats = stats
+
+        def batch_fn(smiles: list[str]) -> list[np.ndarray]:
+            texts = [s if s.startswith("[CLS]") else "[CLS]" + s
+                     for s in smiles]
+            ids, mask = tok.encode_batch(texts, max_len=max_len,
+                                         buckets=(max_len,))
+            ids_d, mask_d = ids, mask
+            if mesh is not None:
+                ids_d = jax.device_put(ids, batch_sharding(mesh))
+                mask_d = jax.device_put(mask, batch_sharding(mesh))
+            preds = np.asarray(predict_pv(params, ids_d, mask_d,
+                                          text_cfg=text_cfg,
+                                          prop_cfg=prop_cfg, bf16=bf16))
+            if norm_stats is not None:
+                preds = norm_stats.denormalize(preds)
+            return list(preds)
+
+        super().__init__(batch_fn, batch_size, max_wait_ms)

@@ -179,6 +179,11 @@ class SmilesTokenizer:
             if buckets:
                 longest = next((b for b in sorted(buckets) if b >= longest),
                                max(buckets))
+            if longest > raw.shape[1]:
+                # a bucket wider than the raw buffer (max_len, minus one
+                # when the leading CLS is dropped): extend with pad zeros
+                # instead of silently under-slicing vs the bucket-wide mask
+                raw = np.pad(raw, [(0, 0), (0, longest - raw.shape[1])])
             ids = np.ascontiguousarray(raw[:, :longest])
             mask = (np.arange(longest)[None, :]
                     < lens[:, None]).astype(np.int32)

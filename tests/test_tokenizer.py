@@ -122,6 +122,22 @@ def test_overlong_word_is_unk(tok):
     assert tok.tokenize("[CLS]" + "C" * 250) == ["[UNK]"]
 
 
+def test_encode_batch_bucket_wider_than_buffer(tok):
+    """Regression: a bucket equal to max_len is one column wider than the
+    CLS-dropped buffer; the native fast path used to under-slice ids vs the
+    bucket-wide mask (shape crash whenever a batch's longest sequence
+    reached max_len-1).  Both paths must pad out to the bucket."""
+    texts = ["[CLS]" + s for s in SAMPLE_SMILES[:4]]
+    ids, mask = tok.encode_batch(texts, max_len=24, buckets=(24,))
+    assert ids.shape == mask.shape == (4, 24)
+    assert (ids[mask == 0] == 0).all()
+    # content identical to the bucketless encoding where both are defined
+    ref_ids, ref_mask = tok.encode_batch(texts, max_len=24)
+    w = ref_ids.shape[1]
+    assert (ids[:, :w] == ref_ids).all() and (mask[:, :w] == ref_mask).all()
+    assert (ids[:, w:] == 0).all() and (mask[:, w:] == 0).all()
+
+
 def test_encode_batch_shapes(tok):
     ids, mask = tok.encode_batch(
         ["[CLS]" + s for s in SAMPLE_SMILES[:4]],
