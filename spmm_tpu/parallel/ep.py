@@ -109,57 +109,66 @@ def expert_capacity(tokens_per_group: int, n_experts: int, top_k: int,
         tokens_per_group * top_k * capacity_factor / n_experts)))
 
 
-def _top_k_dispatch(probs: jnp.ndarray, top_k: int, capacity: int):
+def _top_k_dispatch(probs: jnp.ndarray, top_k: int, capacity: int,
+                    dtype=None):
     """Build GShard dispatch/combine tensors for ONE token group.
 
-    ``probs`` [T, E] router softmax.  Returns (dispatch [T, E, C] as the
-    0/1 routing tensor, combine [T, E, C] carrying renormalized gate
-    weights, aux dict).  Choice ranks fill expert slots in priority order
+    ``probs`` [T, E] router softmax (fp32 from :func:`_route`).  Returns
+    (dispatch [T, E, C] as the 0/1 routing tensor, combine [T, E, C]
+    carrying renormalized gate weights — both cast to ``dtype`` — and an
+    aux dict in fp32).  Choice ranks fill expert slots in priority order
     (all 1st choices first, then 2nd, ...), each rank in token order —
     the standard mesh-tf/flaxformer position assignment.
+
+    Slot positions are computed with int32 cumsums and gates in fp32 no
+    matter the compute dtype: a bf16 cumsum stops representing integers
+    exactly past 256, which would collide tokens into one capacity slot
+    on production group sizes.
     """
     t, e = probs.shape
-    dtype = probs.dtype
+    dtype = dtype or probs.dtype
+    probs = probs.astype(jnp.float32)
     p = probs
     masks, gates = [], []
     for _ in range(top_k):
         idx = jnp.argmax(p, axis=-1)
-        onehot = jax.nn.one_hot(idx, e, dtype=dtype)          # [T, E]
+        onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)      # [T, E]
         masks.append(onehot)
         gates.append(jnp.sum(probs * onehot, axis=-1))        # raw prob
         p = p * (1.0 - onehot)
     # aux load-balance loss from pre-capacity FIRST-choice routing
     # (Switch-Transformer eq. 4): E * sum_e fraction_e * mean_prob_e
-    frac = jnp.mean(masks[0], axis=0)
+    frac = jnp.mean(masks[0].astype(jnp.float32), axis=0)
     mean_prob = jnp.mean(probs, axis=0)
     aux_loss = e * jnp.sum(frac * mean_prob)
 
-    # positions: rank r choices claim slots after ranks < r
-    offset = jnp.zeros((e,), dtype)
+    # positions: rank r choices claim slots after ranks < r (int32-exact)
+    offset = jnp.zeros((e,), jnp.int32)
     kept_masks, positions = [], []
-    n_slots = 0.0
+    n_slots = 0
     for m in masks:
-        pos = jnp.cumsum(m, axis=0) - m + offset[None, :]     # [T, E]
-        keep = m * (pos < capacity).astype(dtype)
+        pos = jnp.cumsum(m, axis=0) - m + offset[None, :]     # [T, E] int32
+        keep = m * (pos < capacity)
         kept_masks.append(keep)
         positions.append(pos)
         offset = offset + jnp.sum(keep, axis=0)   # capped count (mesh-tf)
         n_slots += jnp.sum(m)
-    dropped_frac = 1.0 - sum(jnp.sum(k) for k in kept_masks) / (
-        jnp.maximum(n_slots, 1.0))
+    dropped_frac = 1.0 - sum(
+        jnp.sum(k) for k in kept_masks).astype(jnp.float32) / (
+        jnp.maximum(n_slots, 1).astype(jnp.float32))
 
     # renormalize gates over the selected (pre-capacity) experts
     denom = sum(gates)
     denom = jnp.where(denom > 0, denom, 1.0)
-    combine = jnp.zeros((t, e, capacity), dtype)
-    dispatch = jnp.zeros((t, e, capacity), dtype)
+    combine = jnp.zeros((t, e, capacity), jnp.float32)
+    dispatch = jnp.zeros((t, e, capacity), jnp.float32)
     for m, g, pos in zip(kept_masks, gates, positions):
-        slot = jax.nn.one_hot(pos.astype(jnp.int32), capacity, dtype=dtype)
-        routed = m[..., None] * slot                          # [T, E, C]
+        slot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
+        routed = m.astype(jnp.float32)[..., None] * slot      # [T, E, C]
         dispatch = dispatch + routed
         combine = combine + (g / denom)[:, None, None] * routed
-    return dispatch, combine, {"aux_loss": aux_loss,
-                               "dropped_frac": dropped_frac}
+    return (dispatch.astype(dtype), combine.astype(dtype),
+            {"aux_loss": aux_loss, "dropped_frac": dropped_frac})
 
 
 def _expert_ffn(up: Params, down: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -171,9 +180,13 @@ def _expert_ffn(up: Params, down: Params, x: jnp.ndarray) -> jnp.ndarray:
 def _route(router_w: jnp.ndarray, tokens: jnp.ndarray, top_k: int,
            capacity: int):
     """fp32-softmax routing for grouped ``tokens`` [..., T, H]."""
+    n_experts = router_w.shape[1]
+    if top_k > n_experts:
+        raise ValueError(f"top_k={top_k} exceeds n_experts={n_experts}")
     logits = (tokens.astype(jnp.float32) @ router_w.astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1).astype(tokens.dtype)
-    build = partial(_top_k_dispatch, top_k=top_k, capacity=capacity)
+    probs = jax.nn.softmax(logits, axis=-1)
+    build = partial(_top_k_dispatch, top_k=top_k, capacity=capacity,
+                    dtype=tokens.dtype)
     for _ in range(tokens.ndim - 2):
         build = jax.vmap(build)
     return build(probs)

@@ -164,6 +164,28 @@ def test_ep_grad_matches_dense(cfg, setup):
                                    atol=2e-4, rtol=1e-4)
 
 
+def test_routing_positions_exact_under_bf16():
+    """Slot positions must be int32-exact regardless of compute dtype: 512
+    tokens all routed to one expert must land in 512 DISTINCT capacity
+    slots.  (An in-dtype cumsum would collide tokens past 256 under bf16 —
+    production group sizes are well beyond that.)"""
+    from spmm_tpu.parallel.ep import _top_k_dispatch
+
+    t, e = 512, 4
+    probs = jnp.zeros((t, e), jnp.float32).at[:, 1].set(1.0)
+    dispatch, combine, aux = _top_k_dispatch(probs, 1, t, dtype=jnp.bfloat16)
+    assert dispatch.dtype == jnp.bfloat16
+    per_slot = np.asarray(dispatch, np.float32).sum(axis=0)[1]
+    np.testing.assert_array_equal(per_slot, np.ones(t, np.float32))
+    assert float(aux["dropped_frac"]) == 0.0
+
+
+def test_top_k_exceeding_experts_raises(cfg, setup):
+    params, hidden, n_experts = setup
+    with pytest.raises(ValueError, match="exceeds n_experts"):
+        moe_block(params, cfg, hidden, top_k=n_experts + 1)
+
+
 def test_ep_validates_divisibility(cfg, setup):
     params, hidden, _ = setup
     mesh = ep_mesh(8)
