@@ -145,23 +145,31 @@ class Pv2SmilesService(BatchingService):
     """PV -> SMILES serving: submit a z-normalized [53] property vector,
     receive the generated SMILES string.
 
-    Deterministic k-beam with the file-mode stop rule (stop_count=k,
-    reference d_pv2smiles_batched.py:45); best beam returned.  One XLA
-    program per batch; with ``mesh`` the batch shards over its dp axis
+    Deterministic (default): k-beam with the file-mode stop rule
+    (stop_count=k, reference d_pv2smiles_batched.py:45), best beam
+    returned.  ``stochastic=True``: the single-query sampling mode —
+    multinomial beam expansion, k**2 stop, uniform pick among the finished
+    beams (reference d_pv2smiles_single.py:40-44,86-110).  One XLA program
+    per batch; with ``mesh`` the batch shards over its dp axis
     (batch_size must then divide the mesh size).
     """
 
     def __init__(self, params: Params, tok, *, k: int = 2,
-                 batch_size: int = 128, max_wait_ms: float = 25.0,
-                 mesh=None, text_cfg=None, prop_cfg=None, seed: int = 0,
-                 bf16: bool = True, kv_fp8: bool = False):
+                 stochastic: bool = False, batch_size: int = 128,
+                 max_wait_ms: float = 25.0, mesh=None, text_cfg=None,
+                 prop_cfg=None, seed: int = 0, bf16: bool = True,
+                 kv_fp8: bool = False):
+        import random as _random
+
         import jax
 
         from spmm_tpu.inference.decoding import BeamSpec
         from spmm_tpu.inference.pv2smiles import _beam_batch, _decode_beams
 
-        spec = BeamSpec(k=k, stop_count=k, stochastic=False)
+        spec = BeamSpec(k=k, stop_count=k * k if stochastic else k,
+                        stochastic=stochastic)
         master = jax.random.PRNGKey(seed)
+        py_rng = _random.Random(seed)
         counter = itertools.count()
         if mesh is not None:
             from spmm_tpu.parallel.mesh import batch_sharding, replicated
@@ -182,7 +190,7 @@ class Pv2SmilesService(BatchingService):
             result = jax.device_get(_beam_batch(
                 params, pv_d, None, rngs_d, spec, text_cfg, prop_cfg,
                 bf16=bf16, kv_fp8=kv_fp8))
-            return [_decode_beams(tok, result, i, k, False, None)
+            return [_decode_beams(tok, result, i, k, stochastic, py_rng)
                     for i in range(batch_size)]
 
         super().__init__(batch_fn, batch_size, max_wait_ms)

@@ -154,6 +154,24 @@ def test_pv2smiles_service_matches_offline(tiny_model):
     assert ragged == want[:5]
 
 
+def test_pv2smiles_service_stochastic_mode(tiny_model):
+    """Single-query sampling mode: multinomial expansion + k**2 stop +
+    uniform pick among finished beams — results are strings and the run is
+    reproducible for a fixed seed."""
+    params, tok, text_cfg, prop_cfg = tiny_model
+    pvs = np.random.default_rng(2).normal(size=(4, 53)).astype(np.float32)
+
+    def run():
+        with Pv2SmilesService(params, tok, k=2, stochastic=True, seed=7,
+                              batch_size=4, max_wait_ms=50.0,
+                              text_cfg=text_cfg, prop_cfg=prop_cfg) as svc:
+            return svc.map(list(pvs))
+
+    first, second = run(), run()
+    assert all(isinstance(s, str) for s in first)
+    assert first == second          # same seed, same batching -> same draws
+
+
 def test_smiles2pv_service_matches_offline(tiny_model):
     from spmm_tpu.inference.smiles2pv import predict_pv
 
