@@ -58,31 +58,37 @@ def make_server(services: dict, host: str, port: int,
             svc = services.get(name)
             if svc is None:
                 return self._reply(404, {"error": f"no route {self.path}"})
+            # phase 1 — parse/validate THIS request (client errors -> 400)
             try:
                 raw = self.rfile.read(int(self.headers["Content-Length"]))
                 req = json.loads(raw)
                 if name == "pv2smiles":
-                    pv = np.asarray(req["pv"], np.float32)
-                    if pv.shape != (N_PROPERTIES,):
+                    item = np.asarray(req["pv"], np.float32)
+                    if item.shape != (N_PROPERTIES,):
                         raise ValueError(
                             f"pv must have {N_PROPERTIES} entries, "
-                            f"got shape {pv.shape}")
+                            f"got shape {item.shape}")
                     if not req.get("normalized", False):
                         if stats is None:
                             raise ValueError(
                                 "server has no normalization stats; send "
                                 "normalized pv with \"normalized\": true")
-                        pv = stats.normalize(pv)
-                    out = {"smiles": svc.submit(pv).result()}
+                        item = stats.normalize(item)
                 else:  # smiles2pv
-                    smiles = req["smiles"]
-                    if not isinstance(smiles, str) or not smiles:
+                    item = req["smiles"]
+                    if not isinstance(item, str) or not item:
                         raise ValueError("smiles must be a non-empty string")
-                    out = {"pv": [float(v) for v in svc.submit(smiles).result()]}
             except (KeyError, ValueError, TypeError,
                     json.JSONDecodeError) as exc:
                 return self._reply(400, {"error": str(exc)})
-            except Exception as exc:  # batch_fn failure via the future
+            # phase 2 — execute (batch failures are SERVER errors -> 500;
+            # they may carry another coalesced request's message, never a
+            # reason to blame this client's input)
+            try:
+                result = svc.submit(item).result()
+                out = ({"smiles": result} if name == "pv2smiles"
+                       else {"pv": [float(v) for v in result]})
+            except Exception as exc:
                 return self._reply(500, {"error": f"{type(exc).__name__}: "
                                                   f"{exc}"})
             self._reply(200, out)
@@ -101,10 +107,16 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--k", type=int, default=2)
+    p.add_argument("--stochastic", action="store_true",
+                   help="sample beams multinomially (single-query mode: "
+                        "k**2 stop, uniform pick among finished beams)")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=128,
                    help="device batch per launch (v5e decode sweet spot 128)")
     p.add_argument("--max_wait_ms", type=float, default=25.0,
-                   help="max time the oldest request waits for a full batch")
+                   help="max time a request waits for a full batch, measured "
+                        "from submission (an in-flight device launch can add "
+                        "its remaining run time on top)")
     args = p.parse_args(argv)
 
     tok = make_tokenizer()
@@ -116,7 +128,8 @@ def main(argv=None):
         print(f"data-parallel over {mesh.devices.size} devices")
     services = {
         "pv2smiles": Pv2SmilesService(
-            params, tok, k=args.k, batch_size=args.batch_size,
+            params, tok, k=args.k, stochastic=args.stochastic,
+            seed=args.seed, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms, mesh=mesh),
         "smiles2pv": Smiles2PvService(
             params, tok, stats=stats, batch_size=args.batch_size,

@@ -9,7 +9,9 @@ This module is that glue — deliberately thin, because the TPU-native
 answer is placement, not new step code:
 
 - :func:`initialize` — `jax.distributed.initialize` wrapper (must run
-  before any other JAX call on every process; no-op when single-process);
+  before any other JAX call on every process of a multi-host launch; do
+  NOT call it for single-process runs — outside a managed cluster there
+  is no coordinator to auto-detect and JAX raises);
 - :func:`process_rows` — which contiguous rows of the global batch this
   process should load (host-side dataset slicing);
 - :func:`host_local_batch` — assemble global batch-sharded ``jax.Array``s

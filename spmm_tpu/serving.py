@@ -49,13 +49,15 @@ class BatchingService:
     """Generic request coalescer: submit items, get Futures, a worker
     thread runs ``batch_fn`` on fixed-size padded batches.
 
-    ``batch_fn(items)`` is always called with EXACTLY ``batch_size`` items
-    (short batches padded by repeating the last real item) and must return
-    one result per item, in order.  Exceptions propagate to every future
-    of the failing batch.
+    ``batch_fn(items, n)`` is always called with EXACTLY ``batch_size``
+    items (short batches padded by repeating the last real item); ``n`` is
+    the real request count, so implementations can skip host-side work on
+    padded rows.  It must return at least ``n`` results, the first ``n``
+    matching the real items in order.  Exceptions propagate to every
+    future of the failing batch.
     """
 
-    def __init__(self, batch_fn: Callable[[list], Sequence],
+    def __init__(self, batch_fn: Callable[[list, int], Sequence],
                  batch_size: int, max_wait_ms: float = 25.0):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -64,6 +66,10 @@ class BatchingService:
         self._max_wait = max_wait_ms / 1000.0
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._closed = threading.Event()
+        # guards the closed-check-then-enqueue in submit() against close():
+        # without it a racing submit can enqueue after the worker exited and
+        # strand its future forever
+        self._submit_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
         self._worker = threading.Thread(
             target=self._loop, name=type(self).__name__, daemon=True)
@@ -74,10 +80,14 @@ class BatchingService:
     # ------------------------------------------------------------------ #
 
     def submit(self, item) -> Future:
-        if self._closed.is_set():
-            raise RuntimeError(f"{type(self).__name__} is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError(f"{type(self).__name__} is closed")
+            # enqueue time rides along: the max_wait deadline is measured
+            # from SUBMISSION, so a request that already queued behind a
+            # long device launch is not granted a fresh window on dequeue
+            self._q.put((time.monotonic(), item, fut))
         return fut
 
     def map(self, items: Sequence) -> list:
@@ -86,17 +96,9 @@ class BatchingService:
 
     def close(self) -> None:
         """Stop accepting requests, drain the queue, join the worker."""
-        self._closed.set()
+        with self._submit_lock:
+            self._closed.set()
         self._worker.join()
-        # a submit() racing close() can enqueue after the worker exits;
-        # fail those futures loudly instead of stranding their callers
-        while True:
-            try:
-                _, fut = self._q.get_nowait()
-            except queue.Empty:
-                break
-            fut.set_exception(
-                RuntimeError(f"{type(self).__name__} closed during submit"))
 
     def __enter__(self):
         return self
@@ -116,7 +118,7 @@ class BatchingService:
                 if self._closed.is_set():
                     return
                 continue
-            deadline = time.monotonic() + self._max_wait
+            deadline = batch[0][0] + self._max_wait
             while len(batch) < self._batch_size:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -125,20 +127,22 @@ class BatchingService:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            items = [it for it, _ in batch]
-            futures = [f for _, f in batch]
+            items = [it for _, it, _ in batch]
+            futures = [f for _, _, f in batch]
             n = len(items)
             padded = items + [items[-1]] * (self._batch_size - n)
+            # stats BEFORE resolution: a client that observed its result
+            # must never read counters that predate its own batch
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["padded_slots"] += self._batch_size - n
             try:
-                results = self._batch_fn(padded)
+                results = self._batch_fn(padded, n)
                 for fut, res in zip(futures, results):
                     fut.set_result(res)
             except Exception as exc:  # noqa: BLE001 — futures carry it
                 for fut in futures:
                     fut.set_exception(exc)
-            self.stats["requests"] += n
-            self.stats["batches"] += 1
-            self.stats["padded_slots"] += self._batch_size - n
 
 
 class Pv2SmilesService(BatchingService):
@@ -179,7 +183,7 @@ class Pv2SmilesService(BatchingService):
                     f"{mesh.devices.size}-device mesh")
             params = jax.device_put(params, replicated(mesh))
 
-        def batch_fn(pvs: list) -> list[str]:
+        def batch_fn(pvs: list, n: int) -> list[str]:
             pv = np.stack([np.asarray(p, np.float32) for p in pvs])
             rngs = jax.random.split(
                 jax.random.fold_in(master, next(counter)), batch_size)
@@ -190,8 +194,10 @@ class Pv2SmilesService(BatchingService):
             result = jax.device_get(_beam_batch(
                 params, pv_d, None, rngs_d, spec, text_cfg, prop_cfg,
                 bf16=bf16, kv_fp8=kv_fp8))
+            # decode only the real rows — padded duplicates would burn
+            # worker-thread time between device launches
             return [_decode_beams(tok, result, i, k, stochastic, py_rng)
-                    for i in range(batch_size)]
+                    for i in range(n)]
 
         super().__init__(batch_fn, batch_size, max_wait_ms)
 
@@ -221,7 +227,7 @@ class Smiles2PvService(BatchingService):
             params = jax.device_put(params, replicated(mesh))
         norm_stats = stats
 
-        def batch_fn(smiles: list[str]) -> list[np.ndarray]:
+        def batch_fn(smiles: list[str], n: int) -> list[np.ndarray]:
             texts = [s if s.startswith("[CLS]") else "[CLS]" + s
                      for s in smiles]
             ids, mask = tok.encode_batch(texts, max_len=max_len,
@@ -232,7 +238,7 @@ class Smiles2PvService(BatchingService):
                 mask_d = jax.device_put(mask, batch_sharding(mesh))
             preds = np.asarray(predict_pv(params, ids_d, mask_d,
                                           text_cfg=text_cfg,
-                                          prop_cfg=prop_cfg, bf16=bf16))
+                                          prop_cfg=prop_cfg, bf16=bf16))[:n]
             if norm_stats is not None:
                 preds = norm_stats.denormalize(preds)
             return list(preds)

@@ -35,7 +35,7 @@ TINY = dict(
 def test_results_in_order_and_batched():
     seen_sizes = []
 
-    def batch_fn(items):
+    def batch_fn(items, n):
         seen_sizes.append(len(items))
         return [x * 2 for x in items]
 
@@ -51,7 +51,7 @@ def test_results_in_order_and_batched():
 
 
 def test_timeout_flushes_short_batch():
-    def batch_fn(items):
+    def batch_fn(items, n):
         return list(items)
 
     svc = BatchingService(batch_fn, batch_size=64, max_wait_ms=30.0)
@@ -67,7 +67,7 @@ def test_timeout_flushes_short_batch():
 
 
 def test_exception_propagates_to_all_futures():
-    def batch_fn(items):
+    def batch_fn(items, n):
         raise RuntimeError("device on fire")
 
     svc = BatchingService(batch_fn, batch_size=2, max_wait_ms=10.0)
@@ -81,7 +81,7 @@ def test_exception_propagates_to_all_futures():
 
 
 def test_close_drains_then_rejects():
-    def batch_fn(items):
+    def batch_fn(items, n):
         time.sleep(0.01)
         return list(items)
 
@@ -94,7 +94,7 @@ def test_close_drains_then_rejects():
 
 
 def test_concurrent_submitters():
-    def batch_fn(items):
+    def batch_fn(items, n):
         return [x + 1 for x in items]
 
     results = {}
