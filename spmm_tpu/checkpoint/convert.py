@@ -135,20 +135,28 @@ def convert_bert_mlm(
 
     ``prefix`` is the state_dict scope of the BertForMaskedLM module, e.g.
     ``"text_encoder"`` inside the full SPMM checkpoint.
+
+    With ``cfg.tie_word_embeddings`` (the reference's actual configuration —
+    HF init_weights ties decoder.weight to word_embeddings.weight, so a
+    reference-saved checkpoint stores the SAME tensor under both names) the
+    tree keeps no decoder weight; only the aliased bias
+    (``cls.predictions.bias``, reference xbert.py:686-691) is loaded.
     """
     dot = f"{prefix}." if prefix else ""
+    if cfg.tie_word_embeddings:
+        decoder: Params = {"b": state[f"{dot}cls.predictions.bias"]}
+    else:
+        decoder = {
+            "w": np.ascontiguousarray(
+                state[f"{dot}cls.predictions.decoder.weight"].T
+            ),
+            "b": state[f"{dot}cls.predictions.bias"],
+        }
     return {
         "bert": convert_bert(state, cfg, prefix=f"{dot}bert"),
         "mlm_head": {
             "transform": _linear(state, f"{dot}cls.predictions.transform.dense"),
             "ln": _ln(state, f"{dot}cls.predictions.transform.LayerNorm"),
-            "decoder": {
-                "w": np.ascontiguousarray(
-                    state[f"{dot}cls.predictions.decoder.weight"].T
-                ),
-                # decoder bias is the aliased cls.predictions.bias
-                # (reference xbert.py:686-691)
-                "b": state[f"{dot}cls.predictions.bias"],
-            },
+            "decoder": decoder,
         },
     }

@@ -43,6 +43,13 @@ class BertArchConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     pad_token_id: int = 0
+    # HF PreTrainedModel.init_weights ties cls.predictions.decoder.weight to
+    # word_embeddings.weight (tie_word_embeddings defaults True and none of
+    # the reference JSONs override it) — verified on the reference modules:
+    # the two tensors share storage, so MLM-loss gradients flow into the
+    # embedding table.  True means the param tree stores NO decoder weight
+    # and the LM head contracts against the embedding table directly.
+    tie_word_embeddings: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -333,7 +333,8 @@ def decode_step(
             hidden = jbert.layer_norm(cp["ln"], attx + hidden, cfg.layer_norm_eps)
         hidden = jbert.mlp_block(lp["mlp"], cfg, hidden)
 
-    logits = jbert.mlm_head_forward(params_mlm["mlm_head"], cfg, hidden)
+    logits = jbert.mlm_head_forward(params_mlm["mlm_head"], cfg, hidden,
+                                    params_mlm["bert"]["embeddings"]["word"])
     if anc is not None:
         if pallas:
             cache = new_cache_kv          # appended in place by the kernel

@@ -357,14 +357,31 @@ def bert_forward(
     )
 
 
-def mlm_head_forward(p: Params, cfg: BertArchConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """LM prediction head: dense+GELU+LN then untied decoder with its own bias
+def mlm_head_forward(
+    p: Params,
+    cfg: BertArchConfig,
+    hidden: jnp.ndarray,
+    word_embeddings: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """LM prediction head: dense+GELU+LN then the vocab decoder
     (reference xbert.py:662-696; the decoder bias is the aliased
-    ``cls.predictions.bias``)."""
+    ``cls.predictions.bias``).
+
+    The decoder weight is TIED to the embedding table: HF's init_weights
+    ties ``cls.predictions.decoder.weight`` to ``word_embeddings.weight``
+    (tie_word_embeddings defaults True; verified shared storage on the
+    reference modules), so MLM gradients must flow into the embeddings.
+    A tied tree stores no ``decoder.w`` — callers pass the [V, H] embedding
+    table; an untied tree (cfg.tie_word_embeddings=False) keeps its own
+    ``decoder.w`` and ignores ``word_embeddings``."""
     x = dense(p["transform"], hidden)
     x = gelu(x)
     x = layer_norm(p["ln"], x, cfg.layer_norm_eps)
-    return dense(p["decoder"], x)
+    if "w" in p["decoder"]:
+        return dense(p["decoder"], x)
+    assert word_embeddings is not None, (
+        "tied LM head needs the embedding table")
+    return x @ word_embeddings.T + p["decoder"]["b"]
 
 
 def mlm_forward(
@@ -374,7 +391,8 @@ def mlm_forward(
 ) -> jnp.ndarray:
     """BertForMaskedLM.forward with return_logits=True (reference xbert.py:1377-1428)."""
     hidden = bert_forward(params["bert"], cfg, **kwargs)
-    return mlm_head_forward(params["mlm_head"], cfg, hidden)
+    return mlm_head_forward(params["mlm_head"], cfg, hidden,
+                            params["bert"]["embeddings"]["word"])
 
 
 # --------------------------------------------------------------------------- #
@@ -444,13 +462,19 @@ def init_bert_params(rng: jax.Array, cfg: BertArchConfig) -> Params:
 
 def init_mlm_params(rng: jax.Array, cfg: BertArchConfig) -> Params:
     r1, r2, r3 = jax.random.split(rng, 3)
+    if cfg.tie_word_embeddings:
+        # decoder weight IS the embedding table (HF tie, see
+        # mlm_head_forward); only the aliased bias is a separate param
+        decoder: Params = {"b": jnp.zeros((cfg.vocab_size,), jnp.float32)}
+    else:
+        decoder = _init_linear(r3, cfg.hidden_size, cfg.vocab_size,
+                               cfg.initializer_range)
     return {
         "bert": init_bert_params(r1, cfg),
         "mlm_head": {
             "transform": _init_linear(r2, cfg.hidden_size, cfg.hidden_size,
                                       cfg.initializer_range),
             "ln": _init_ln(cfg.hidden_size),
-            "decoder": _init_linear(r3, cfg.hidden_size, cfg.vocab_size,
-                                    cfg.initializer_range),
+            "decoder": decoder,
         },
     }

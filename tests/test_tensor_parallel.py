@@ -60,9 +60,11 @@ def test_spec_rules(tiny_cfg):
     fusion = specs["bert"]["layers"][tiny_cfg.fusion_layer]
     assert fusion["cross_attn"]["v"]["w"] == P(None, TP_AXIS)
     assert fusion["cross_attn"]["out"]["w"] == P(TP_AXIS, None)
-    # embeddings + LM head replicated
+    # embeddings + LM head replicated (tied head: the decoder weight IS the
+    # embedding table, so only the aliased bias remains in the head)
     assert specs["bert"]["embeddings"]["word"] == P()
-    assert specs["mlm_head"]["decoder"]["w"] == P()
+    assert "w" not in specs["mlm_head"]["decoder"]
+    assert specs["mlm_head"]["decoder"]["b"] == P()
 
 
 def test_assert_tp_compatible(tiny_cfg):
