@@ -1,7 +1,8 @@
-"""Convert a reference PyTorch SPMM checkpoint to a native Orbax checkpoint.
+"""Convert a reference PyTorch SPMM checkpoint to a native Orbax checkpoint
+— or export back the other way.
 
 Applies the reference's load-time key surgery as explicit converter rules
-(SURVEY §2.4) before saving.  Two output modes:
+(SURVEY §2.4) before saving.  Output modes:
 
   params (default) — inference/fine-tune params tree; loadable by every CLI
       via spmm_tpu.checkpoint.io.load_spmm_params.
@@ -9,9 +10,15 @@ Applies the reference's load-time key surgery as explicit converter rules
       momentum twins + queues/ptr from the checkpoint buffers + fresh
       optimizer state), loadable by ``python -m spmm_tpu.cli.pretrain
       --resume <out>``.
+  --to_torch — the REVERSE direction: read a checkpoint (Orbax dir or
+      torch .ckpt) and write a reference-loadable
+      ``{"state_dict": ...}`` torch checkpoint (checkpoint/export.py),
+      handing a spmm_tpu-trained model back to the reference code.
 
     python -m spmm_tpu.cli.convert_checkpoint \
         --torch_ckpt checkpoint_SPMM.ckpt --out ./ckpt_spmm
+    python -m spmm_tpu.cli.convert_checkpoint \
+        --torch_ckpt ./ckpt_spmm --out exported.ckpt --to_torch
 """
 
 from __future__ import annotations
@@ -38,9 +45,24 @@ def main(argv=None):
                         "(BASELINE.json north star; needs /root/reference "
                         "+ torch)")
     p.add_argument("--verify_tolerance", type=float, default=1e-4)
+    p.add_argument("--to_torch", action="store_true",
+                   help="reverse direction: load the checkpoint (Orbax or "
+                        "torch) and write a reference-loadable torch "
+                        ".ckpt to --out")
     args = p.parse_args(argv)
 
     from spmm_tpu.checkpoint.io import load_spmm_params, save_checkpoint
+
+    if args.to_torch:
+        from spmm_tpu.checkpoint.export import save_torch_checkpoint
+
+        params = load_spmm_params(
+            args.torch_ckpt,
+            with_pretrain_heads=not args.no_pretrain_heads)
+        save_torch_checkpoint(args.out, params)
+        n = sum(x.size for x in jax.tree.leaves(params))
+        print(f"exported {n:,} parameters -> {args.out} (torch state_dict)")
+        return
 
     if args.as_pretrain_state:
         from spmm_tpu.checkpoint.convert import load_torch_state_dict
