@@ -8,6 +8,12 @@ Endpoints (JSON in/out):
                     z-normalized with the bundled stats exactly like the
                     file-mode workload (reference d_pv2smiles_batched.py:64-66);
                     pass "normalized": true to send pre-normalized values.
+                    Partial conditioning (the reference's single-query
+                    workload, d_pv2smiles_single.py:60-66): send null for
+                    any property to leave it unconstrained, and/or an
+                    explicit "mask" list of 53 0/1 flags (1 = unconstrained;
+                    nulls in pv are always masked, mask-flagged values are
+                    ignored).
   POST /smiles2pv   {"smiles": "CCO"} -> {"pv": [53 floats]}  (denormalized)
   GET  /healthz     -> {"ok": true, "services": {...per-service stats}}
 
@@ -63,17 +69,36 @@ def make_server(services: dict, host: str, port: int,
                 raw = self.rfile.read(int(self.headers["Content-Length"]))
                 req = json.loads(raw)
                 if name == "pv2smiles":
-                    item = np.asarray(req["pv"], np.float32)
-                    if item.shape != (N_PROPERTIES,):
+                    vals = req["pv"]
+                    if not isinstance(vals, list) or len(vals) != N_PROPERTIES:
                         raise ValueError(
-                            f"pv must have {N_PROPERTIES} entries, "
-                            f"got shape {item.shape}")
+                            f"pv must be a list of {N_PROPERTIES} entries, "
+                            f"got {type(vals).__name__} of "
+                            f"{len(vals) if isinstance(vals, list) else '?'}")
+                    # null entries = unconstrained properties (partial
+                    # conditioning, reference d_pv2smiles_single.py:60-66)
+                    mask = np.asarray([v is None for v in vals], np.float32)
+                    if "mask" in req:
+                        m = req["mask"]
+                        if (not isinstance(m, list)
+                                or len(m) != N_PROPERTIES
+                                or any(x not in (0, 1, 0.0, 1.0, False, True)
+                                       for x in m)):
+                            raise ValueError(
+                                f"mask must be a list of {N_PROPERTIES} "
+                                "0/1 flags")
+                        mask = np.maximum(mask, np.asarray(m, np.float32))
+                    pv = np.asarray([0.0 if v is None else float(v)
+                                     for v in vals], np.float32)
                     if not req.get("normalized", False):
                         if stats is None:
                             raise ValueError(
                                 "server has no normalization stats; send "
                                 "normalized pv with \"normalized\": true")
-                        item = stats.normalize(item)
+                        pv = stats.normalize(pv)
+                    # masked slots' values are inert; zero them so the
+                    # normalization of a placeholder never leaks through
+                    item = (np.where(mask > 0, 0.0, pv), mask)
                 else:  # smiles2pv
                     item = req["smiles"]
                     if not isinstance(item, str) or not item:

@@ -149,6 +149,15 @@ class Pv2SmilesService(BatchingService):
     """PV -> SMILES serving: submit a z-normalized [53] property vector,
     receive the generated SMILES string.
 
+    An item is either a bare ``[53]`` vector (condition on every property)
+    or a ``(pv, mask)`` pair with ``mask[53]`` 1 = masked: generation is
+    conditioned only on the UNMASKED subset, masked positions are replaced
+    by the learned mask embedding exactly like the reference's partial-
+    condition workload (reference d_pv2smiles_single.py:60-66).  Masked
+    slots' values are inert (zeroed host-side), so requests with different
+    masks coalesce into the same device program — every batch passes one
+    ``[B, 53]`` mask, all-zero rows behaving bit-identically to no mask.
+
     Deterministic (default): k-beam with the file-mode stop rule
     (stop_count=k, reference d_pv2smiles_batched.py:45), best beam
     returned.  ``stochastic=True``: the single-query sampling mode —
@@ -183,16 +192,32 @@ class Pv2SmilesService(BatchingService):
                     f"{mesh.devices.size}-device mesh")
             params = jax.device_put(params, replicated(mesh))
 
-        def batch_fn(pvs: list, n: int) -> list[str]:
-            pv = np.stack([np.asarray(p, np.float32) for p in pvs])
+        def split_item(item):
+            if isinstance(item, tuple):
+                pv, msk = item
+                pv = np.asarray(pv, np.float32)
+                msk = np.asarray(msk, np.float32)
+            else:
+                pv = np.asarray(item, np.float32)
+                msk = np.zeros_like(pv)
+            # zero masked slots: their values must be inert, and a client
+            # NaN there would otherwise poison the row (NaN * 0 == NaN in
+            # the mask-blend on device)
+            return np.where(msk > 0, 0.0, pv), msk
+
+        def batch_fn(items: list, n: int) -> list[str]:
+            pairs = [split_item(it) for it in items]
+            pv = np.stack([p for p, _ in pairs])
+            msk = np.stack([m for _, m in pairs])
             rngs = jax.random.split(
                 jax.random.fold_in(master, next(counter)), batch_size)
-            pv_d, rngs_d = pv, rngs
+            pv_d, msk_d, rngs_d = pv, msk, rngs
             if mesh is not None:
                 pv_d = jax.device_put(pv, batch_sharding(mesh))
+                msk_d = jax.device_put(msk, batch_sharding(mesh))
                 rngs_d = jax.device_put(rngs, batch_sharding(mesh))
             result = jax.device_get(_beam_batch(
-                params, pv_d, None, rngs_d, spec, text_cfg, prop_cfg,
+                params, pv_d, msk_d, rngs_d, spec, text_cfg, prop_cfg,
                 bf16=bf16, kv_fp8=kv_fp8))
             # decode only the real rows — padded duplicates would burn
             # worker-thread time between device launches

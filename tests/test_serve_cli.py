@@ -117,10 +117,46 @@ def test_smiles2pv_route_matches_offline(served):
                                    want[i], atol=1e-4, rtol=1e-4)
 
 
+def test_pv2smiles_route_partial_conditioning(served):
+    """null pv entries and an explicit mask both leave properties
+    unconstrained (reference d_pv2smiles_single.py:60-66), and masked
+    slots' values are inert."""
+    url = served[0]
+    pv = [float(v) for v in
+          np.random.default_rng(5).normal(size=53).astype(np.float32)]
+    nulled = pv[:20] + [None] * 33
+    status, body = _post(url, "/pv2smiles",
+                         {"pv": nulled, "normalized": True})
+    assert status == 200 and isinstance(body["smiles"], str)
+    # explicit mask over placeholder values == nulls
+    mask = [0] * 20 + [1] * 33
+    status2, body2 = _post(url, "/pv2smiles",
+                           {"pv": pv[:20] + [0.0] * 33, "mask": mask,
+                            "normalized": True})
+    assert status2 == 200 and body2["smiles"] == body["smiles"]
+    # masked values are inert even when wild
+    status3, body3 = _post(url, "/pv2smiles",
+                           {"pv": pv[:20] + [1e6] * 33, "mask": mask,
+                            "normalized": True})
+    assert status3 == 200 and body3["smiles"] == body["smiles"]
+    # raw-PV path normalizes only through the unmasked slots (placeholders
+    # are zeroed after normalization): request is valid with nulls too
+    status4, body4 = _post(url, "/pv2smiles", {"pv": nulled})
+    assert status4 == 200 and isinstance(body4["smiles"], str)
+
+
 def test_validation_errors(served):
     url = served[0]
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url, "/pv2smiles", {"pv": [1.0, 2.0]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/pv2smiles",
+              {"pv": [1.0] * 53, "mask": [1] * 5, "normalized": True})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/pv2smiles",
+              {"pv": [1.0] * 53, "mask": [0.5] * 53, "normalized": True})
     assert e.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url, "/smiles2pv", {"smiles": ""})

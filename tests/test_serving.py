@@ -154,6 +154,34 @@ def test_pv2smiles_service_matches_offline(tiny_model):
     assert ragged == want[:5]
 
 
+def test_pv2smiles_service_mask_conditioning(tiny_model):
+    """Partial conditioning (reference d_pv2smiles_single.py:60-66): a
+    (pv, mask) item conditions only on the unmasked slots.  An all-zero
+    mask must be bit-identical to a bare pv (mask-blend with 0 is exact in
+    fp32), and masked slots' VALUES must be inert — including NaN."""
+    params, tok, text_cfg, prop_cfg = tiny_model
+    rng = np.random.default_rng(3)
+    pvs = rng.normal(size=(4, 53)).astype(np.float32)
+    zero = np.zeros(53, np.float32)
+    mask = np.zeros(53, np.float32)
+    mask[20:] = 1.0
+    scrambled = pvs.copy()
+    scrambled[:, 20:] = 1e6
+    scrambled[:, 20] = np.nan          # a NaN in a masked slot must be inert
+    with Pv2SmilesService(params, tok, k=2, batch_size=4, max_wait_ms=50.0,
+                          text_cfg=text_cfg, prop_cfg=prop_cfg) as svc:
+        plain = svc.map(list(pvs))
+        tupled = svc.map([(pv, zero) for pv in pvs])
+        masked = svc.map([(pv, mask) for pv in pvs])
+        masked_scrambled = svc.map([(pv, mask) for pv in scrambled])
+        # mixed batches coalesce: masked and unmasked requests in ONE batch
+        mixed = svc.map([pvs[0], (pvs[1], mask), pvs[2], (pvs[3], mask)])
+    assert tupled == plain
+    assert masked == masked_scrambled
+    assert all(isinstance(s, str) for s in masked)
+    assert mixed == [plain[0], masked[1], plain[2], masked[3]]
+
+
 def test_pv2smiles_service_stochastic_mode(tiny_model):
     """Single-query sampling mode: multinomial expansion + k**2 stop +
     uniform pick among finished beams — results are strings and the run is
