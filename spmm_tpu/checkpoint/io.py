@@ -28,6 +28,45 @@ def save_checkpoint(path: str, state: Params) -> None:
     ckptr.wait_until_finished()
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writes for training loops.
+
+    ``save()`` returns once the state is snapshotted to host; array
+    serialization and disk IO run on Orbax's background thread, overlapping
+    the next training steps.  Orbax serializes overlapping saves itself (a
+    second ``save`` waits for the in-flight one).  Call ``close()`` — or
+    use as a context manager — to barrier before process exit, otherwise
+    the last checkpoint may be incomplete.
+
+    The reference has nothing comparable: PL ``ModelCheckpoint`` blocks the
+    step loop for the full torch.save (reference SPMM_pretrain.py:29-34).
+    Output format is identical to ``save_checkpoint`` (same
+    StandardCheckpointHandler), so ``restore_checkpoint`` reads both.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, state: Params) -> None:
+        self._ckptr.save(os.path.abspath(path),
+                         args=self._ocp.args.StandardSave(state), force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
+
+    def __enter__(self) -> "AsyncSaver":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def restore_checkpoint(path: str, template: Optional[Params] = None) -> Params:
     import orbax.checkpoint as ocp
 

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from spmm_tpu.configs import PretrainConfig
-from spmm_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+from spmm_tpu.checkpoint.io import (
+    AsyncSaver, restore_checkpoint, save_checkpoint,
+)
 from spmm_tpu.cli._common import make_tokenizer, seed_everything
 from spmm_tpu.data.datasets import PretrainDataset
 from spmm_tpu.data.pipeline import batch_pretrain, prefetch
@@ -55,6 +57,13 @@ def main(argv=None):
                         "Megatron-sharded over tp (parallel/tp.py); must "
                         "divide the head count (12); mutually exclusive "
                         "with --zero1")
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="fully-sharded data parallelism (ZeRO-3): devices "
+                        "form a 2-D dp x fsdp mesh and EVERY state leaf "
+                        "(params, EMA, both Adam moments) is sharded over "
+                        "fsdp (parallel/fsdp.py); at-rest state memory is "
+                        "~1/fsdp per chip; mutually exclusive with --tp and "
+                        "--zero1")
     p.add_argument("--sp", action="store_true",
                    help="Megatron sequence parallelism on top of --tp: the "
                         "residual-stream LayerNorm/dropout regions run "
@@ -70,11 +79,18 @@ def main(argv=None):
                         "remote runtime)")
     p.add_argument("--metrics_log", default=None,
                    help="JSONL metrics path (default <output_dir>/metrics.jsonl)")
+    p.add_argument("--async_save", action="store_true",
+                   help="non-blocking Orbax checkpoint writes (serialization "
+                        "+ disk IO overlap the next training steps)")
     args = p.parse_args(argv)
 
     if args.sp and args.tp <= 1:
         p.error("--sp requires --tp > 1 (sequence parallelism shards over "
                 "the tensor-parallel group)")
+    if args.fsdp > 1 and (args.tp > 1 or args.zero1):
+        p.error("--fsdp is mutually exclusive with --tp/--zero1 (fsdp "
+                "already shards params, EMA and optimizer state; ZeRO-3 "
+                "subsumes ZeRO-1, and tp/fsdp shard the same leaves)")
     seed = seed_everything(args.seed)
     tok = make_tokenizer()
     if args.tp > 1:
@@ -84,6 +100,10 @@ def main(argv=None):
         assert not args.zero1, "--tp and --zero1 are mutually exclusive"
         assert_tp_compatible(text_config(), args.tp)
         mesh = dp_tp_mesh(tp=args.tp)
+    elif args.fsdp > 1:
+        from spmm_tpu.parallel.fsdp import dp_fsdp_mesh
+
+        mesh = dp_fsdp_mesh(fsdp=args.fsdp)
     else:
         mesh = data_parallel_mesh()
     n_dev = dict(mesh.shape)["dp"]   # dp extent: per-device batch is per dp shard
@@ -120,17 +140,29 @@ def main(argv=None):
         from spmm_tpu.parallel.tp import tp_shardings
 
         state = jax.device_put(state, tp_shardings(state, mesh))
+    elif args.fsdp > 1:
+        # ZeRO-3 at rest: every params/EMA/moment leaf ~1/fsdp per chip
+        from spmm_tpu.parallel.fsdp import fsdp_state_shardings
+
+        state = jax.device_put(state, fsdp_state_shardings(state, mesh))
     else:
         state = jax.device_put(state, replicated(mesh))
     # NOTE: donate=True saves ~2GB HBM but triggers INVALID_ARGUMENT at
     # execution time on the axon remote-TPU runtime; enable it on standard
     # PJRT TPU runtimes via --donate
+    fsdp_out = None
+    if args.fsdp > 1:
+        from spmm_tpu.parallel.fsdp import fsdp_state_shardings
+
+        fsdp_out = fsdp_state_shardings(state, mesh)
     step_fn = make_pretrain_step(mesh, pcfg, steps_per_epoch,
                                  donate=args.donate, accum=args.accum,
-                                 sp=args.sp)
+                                 sp=args.sp, state_shardings=fsdp_out)
     rng = jax.random.PRNGKey(seed + 1)
     logger = MetricLogger(args.metrics_log
                           or f"{args.output_dir}/metrics.jsonl")
+    saver = AsyncSaver() if args.async_save else None
+    save = saver.save if saver else save_checkpoint
 
     compiled = {}            # AOT executable per batch ids.shape: bucket
     flops_per_step = None    # padding produces several shapes per epoch, and
@@ -138,9 +170,20 @@ def main(argv=None):
                              # cost analysis (MFU) reuses the first executable
     losses = []
     t0 = time.time()
-    for epoch in range(args.epochs):
+    # resume fast-forward: the step counter is authoritative (the schedule
+    # and alpha ramp key on it), so the data loop must continue from the
+    # same epoch/batch position instead of replaying epoch 0 (reference:
+    # PL ckpt_path restores the loader state, SPMM_pretrain.py:24-26,37)
+    start_step = int(state["step"])
+    start_epoch = min(start_step // steps_per_epoch, args.epochs)
+    if args.resume and start_step:
+        print(f"resume fast-forward: epoch {start_epoch}, "
+              f"skipping {start_step % steps_per_epoch} batches")
+    for epoch in range(start_epoch, args.epochs):
+        skip = start_step % steps_per_epoch if epoch == start_epoch else 0
         batches = prefetch(batch_pretrain(
-            tok, ds, global_bs, shuffle=True, seed=seed + epoch), depth=4)
+            tok, ds, global_bs, shuffle=True, seed=seed + epoch,
+            skip_batches=skip), depth=4)
         for b in batches:
             batch = {k: jnp.asarray(v) for k, v in b.items()}
             step_rng = jax.random.fold_in(rng, int(state["step"]))
@@ -169,16 +212,20 @@ def main(argv=None):
                       f"{util_s})")
                 t0 = time.time()
             if step % args.save_every == 0:
-                save_checkpoint(f"{args.output_dir}/step_{step}", state)
+                save(f"{args.output_dir}/step_{step}", state)
             if args.max_steps and step >= args.max_steps:
-                save_checkpoint(f"{args.output_dir}/step_{step}", state)
+                save(f"{args.output_dir}/step_{step}", state)
                 logger.close()
+                if saver:
+                    saver.close()   # barrier: the write must land
                 return
         m = np.mean(losses[-1000:], axis=0)
         print(f"\n mean loss: {m[0]:.4f}, {m[1]:.4f}, {m[2]:.4f}, {m[3]:.4f}")
         losses.clear()
-    save_checkpoint(f"{args.output_dir}/final", state)
+    save(f"{args.output_dir}/final", state)
     logger.close()
+    if saver:
+        saver.close()   # barrier: the final write must land before exit
 
 
 if __name__ == "__main__":

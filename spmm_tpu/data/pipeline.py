@@ -96,13 +96,22 @@ def batch_pretrain(
     buckets: Optional[Sequence[int]] = None,
     shuffle: bool = True,
     seed: int = 0,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
-    """{'prop','ids','mask'} batches for the pretrain step (drop_last)."""
+    """{'prop','ids','mask'} batches for the pretrain step (drop_last).
+
+    ``skip_batches`` fast-forwards past already-consumed batches of this
+    epoch's shuffle order without touching the dataset or tokenizer — the
+    resume path (reference: PL ``ckpt_path`` restores the loader position,
+    SPMM_pretrain.py:24-26,37) uses it so a restored run continues the
+    epoch where it stopped instead of replaying it.
+    """
     buckets = buckets if buckets is not None else default_buckets(max_len)
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    for start in range(0, len(order) - batch_size + 1, batch_size):
+    for start in range(skip_batches * batch_size,
+                       len(order) - batch_size + 1, batch_size):
         idx = order[start: start + batch_size]
         items = [dataset[int(i)] for i in idx]
         ids, mask = tok.encode_batch([t for _, t in items],

@@ -454,6 +454,7 @@ def make_pretrain_step(
     donate: bool = False,
     accum: int = 1,
     sp: bool = False,
+    state_shardings=None,
 ):
     """Builds the jitted data-parallel train step.
 
@@ -493,9 +494,10 @@ def make_pretrain_step(
     dp_size = dict(mesh.shape)[DP_AXIS]
     if pcfg.zero1 and mesh.devices.size != dp_size:
         raise ValueError(
-            "zero1 + tensor parallelism are not composed: ZeRO-1 shards "
-            "state leaves over dp while tp shards them over tp — pick one "
-            "(tp already splits the optimizer state with the params)")
+            "zero1 + a second mesh axis (tp/fsdp) are not composed: ZeRO-1 "
+            "shards state leaves over dp while tp/fsdp shard them over "
+            "their own axis — pick one (both already split the optimizer "
+            "state with the params)")
 
     if sp:
         from spmm_tpu.parallel.sp import sequence_parallel
@@ -538,7 +540,12 @@ def make_pretrain_step(
         check_vma=False,
     )
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    # ``state_shardings`` pins the OUTPUT state layout (e.g. the ZeRO-3
+    # fsdp placement, parallel/fsdp.py): without it GSPMD is free to emit
+    # some leaves replicated, and the CLI's AOT executable — compiled for
+    # the sharded input state — would reject its own output on step 2
+    @partial(jax.jit, donate_argnums=(0,) if donate else (),
+             out_shardings=(state_shardings, None))
     def train_step(state, batch, rng):
         # queue wraparound never happens when this divides (reference assert,
         # SPMM_models.py:279); dynamic_update_slice would clamp otherwise

@@ -35,6 +35,26 @@ def test_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_saver_roundtrip(tmp_path):
+    """AsyncSaver writes the same format as save_checkpoint — a
+    restore_checkpoint of an async write must round-trip, including
+    overlapping saves (Orbax serializes them)."""
+    from spmm_tpu.checkpoint.io import AsyncSaver
+
+    text_cfg = BertArchConfig(**TINY, add_cross_attention=True)
+    prop_cfg = BertArchConfig(**{**TINY, "vocab_size": 1},
+                              add_cross_attention=False)
+    pcfg = PretrainConfig(embed_dim=8, queue_size=32)
+    state = init_pretrain_state(jax.random.PRNGKey(1), pcfg, text_cfg,
+                                prop_cfg)
+    with AsyncSaver() as saver:
+        saver.save(str(tmp_path / "a"), state)
+        saver.save(str(tmp_path / "b"), state)   # overlaps the first
+    restored = restore_checkpoint(str(tmp_path / "b"), state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_key_surgery():
     state = {
         "text_encoder.bert.x": np.zeros(1),

@@ -138,6 +138,23 @@ def test_batch_pretrain_and_prefetch(tmp_path, tok):
     assert b["ids"].shape == b["mask"].shape
 
 
+def test_batch_pretrain_skip_batches_resumes_epoch_order(tmp_path, tok):
+    """skip_batches=k must yield exactly the tail of the same shuffle order
+    — the resume fast-forward contract of cli.pretrain (reference: PL
+    ckpt_path restores the loader position, SPMM_pretrain.py:24-26,37)."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(SMILES * 2) + "\n")
+    pv = np.arange(12 * 53, dtype="f4").reshape(12, 53)
+    np.savez(tmp_path / "pv.npz", pv=pv)
+    ds = PretrainDataset(str(corpus), property_cache=str(tmp_path / "pv.npz"))
+    full = list(batch_pretrain(tok, ds, batch_size=2, seed=7))
+    tail = list(batch_pretrain(tok, ds, batch_size=2, seed=7, skip_batches=2))
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a["prop"], b["prop"])
+        np.testing.assert_array_equal(a["ids"], b["ids"])
+
+
 def test_batch_pairs(tok, tmp_path):
     f = tmp_path / "u.txt"
     f.write_text("CCO.CC(=O)O\tCC(=O)OCC\nCCN\tCCNC\nCCC\tCCCC\n")
