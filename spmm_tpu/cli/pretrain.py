@@ -9,6 +9,9 @@ resume via --resume pointing at an Orbax state dir.
 from __future__ import annotations
 
 import argparse
+import json
+import os
+import sys
 import time
 
 import jax
@@ -127,6 +130,31 @@ def main(argv=None):
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print("resumed at step", int(state["step"]))
+        # the fast-forward below recomputes the data position from the
+        # CURRENT seed/global batch; a resume under different values lands
+        # the loader on the wrong samples with no error, so check against
+        # the run metadata written next to the original checkpoints
+        meta_path = os.path.join(os.path.dirname(os.path.abspath(args.resume)),
+                                 "run_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            for key, cur in (("global_bs", global_bs), ("seed", seed),
+                             ("n_dev", n_dev)):
+                if meta.get(key, cur) != cur:
+                    print(f"WARNING: resume {key}={cur} differs from the "
+                          f"original run's {meta[key]} ({meta_path}) — the "
+                          "data fast-forward will land at a different "
+                          "position (duplicated/skipped samples)",
+                          file=sys.stderr)
+        else:
+            print(f"WARNING: no run_meta.json next to {args.resume}; cannot "
+                  "verify the resume uses the original batch size/seed",
+                  file=sys.stderr)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "run_meta.json"), "w") as f:
+        json.dump({"global_bs": global_bs, "seed": seed, "n_dev": n_dev,
+                   "batch_size": args.batch_size}, f)
 
     # place the state over the mesh up front: a single-device-committed
     # state would recompile the step on its second call (sharding change)
@@ -164,12 +192,6 @@ def main(argv=None):
     saver = AsyncSaver() if args.async_save else None
     save = saver.save if saver else save_checkpoint
 
-    compiled = {}            # AOT executable per batch ids.shape: bucket
-    flops_per_step = None    # padding produces several shapes per epoch, and
-                             # an AOT executable rejects any other shape; the
-                             # cost analysis (MFU) reuses the first executable
-    losses = []
-    t0 = time.time()
     # resume fast-forward: the step counter is authoritative (the schedule
     # and alpha ramp key on it), so the data loop must continue from the
     # same epoch/batch position instead of replaying epoch 0 (reference:
@@ -179,6 +201,26 @@ def main(argv=None):
     if args.resume and start_step:
         print(f"resume fast-forward: epoch {start_epoch}, "
               f"skipping {start_step % steps_per_epoch} batches")
+    try:
+        _train_loop(args, state, step_fn, tok, ds, rng, logger, save,
+                    global_bs, steps_per_epoch, start_epoch, start_step,
+                    seed, mesh)
+    finally:
+        # always land: an exception mid-loop must not abandon an in-flight
+        # async write or swallow a deferred Orbax error from an earlier save
+        logger.close()
+        if saver:
+            saver.close()
+
+
+def _train_loop(args, state, step_fn, tok, ds, rng, logger, save, global_bs,
+                steps_per_epoch, start_epoch, start_step, seed, mesh):
+    compiled = {}            # AOT executable per batch ids.shape: bucket
+    flops_per_step = None    # padding produces several shapes per epoch, and
+                             # an AOT executable rejects any other shape; the
+                             # cost analysis (MFU) reuses the first executable
+    losses = []
+    t0 = time.time()
     for epoch in range(start_epoch, args.epochs):
         skip = start_step % steps_per_epoch if epoch == start_epoch else 0
         batches = prefetch(batch_pretrain(
@@ -214,18 +256,15 @@ def main(argv=None):
             if step % args.save_every == 0:
                 save(f"{args.output_dir}/step_{step}", state)
             if args.max_steps and step >= args.max_steps:
-                save(f"{args.output_dir}/step_{step}", state)
-                logger.close()
-                if saver:
-                    saver.close()   # barrier: the write must land
+                if step % args.save_every != 0:   # not already saved above:
+                    # a boundary double-save would delete-and-rewrite the
+                    # just-committed checkpoint (a crash in between loses it)
+                    save(f"{args.output_dir}/step_{step}", state)
                 return
         m = np.mean(losses[-1000:], axis=0)
         print(f"\n mean loss: {m[0]:.4f}, {m[1]:.4f}, {m[2]:.4f}, {m[3]:.4f}")
         losses.clear()
     save(f"{args.output_dir}/final", state)
-    logger.close()
-    if saver:
-        saver.close()   # barrier: the final write must land before exit
 
 
 if __name__ == "__main__":

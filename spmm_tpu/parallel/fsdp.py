@@ -64,6 +64,11 @@ def dp_fsdp_mesh(
             raise ValueError(
                 f"{len(devices)} devices not divisible by fsdp={fsdp}")
         dp = len(devices) // fsdp
+    elif dp * fsdp != len(devices):
+        # mirror the dp=None divisibility check: silently using only
+        # devices[:dp*fsdp] would idle the rest of a mis-sized call
+        raise ValueError(
+            f"dp={dp} x fsdp={fsdp} != {len(devices)} devices")
     grid = np.asarray(devices[: dp * fsdp]).reshape(dp, fsdp)
     return Mesh(grid, (DP_AXIS, FSDP_AXIS))
 
