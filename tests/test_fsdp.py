@@ -90,6 +90,7 @@ def test_at_rest_memory_is_sharded(state):
     assert q.addressable_shards[0].data.shape == q.shape
 
 
+@pytest.mark.slow
 def test_pretrain_step_dp_fsdp_matches_dp(tiny_cfg, prop_cfg, pcfg, state):
     """The FULL pretrain step (shard_map manual over dp, GSPMD-auto over
     fsdp) on dp=2 x fsdp=4 must match the 1-D dp=2 mesh exactly: dp

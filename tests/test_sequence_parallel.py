@@ -84,6 +84,7 @@ def test_mlm_forward_sp_matches_replicated(tiny_cfg, mesh):
     np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=0)
 
 
+@pytest.mark.slow
 def test_pretrain_step_sp_matches_dp(tiny_cfg):
     """The FULL pretrain step with sp=True on dp=4 x tp=2 (manual-dp
     shard_map + constraint-twin mesh) must match the 1-D dp=4 mesh."""
@@ -137,6 +138,7 @@ def _tiny_pretrain_fixture():
     return tiny_cfg, prop_cfg, batch
 
 
+@pytest.mark.slow
 def test_pretrain_step_sp_composes_with_remat_and_accum():
     """sp=True is a pure layout change under the CLI-reachable composition
     --remat --accum 2 too: dp=4 x tp=2 + sp == 1-D dp=4, same flags."""
@@ -167,6 +169,7 @@ def test_pretrain_step_sp_composes_with_remat_and_accum():
         jax.device_get(s_sp["params"]), jax.device_get(s_dp["params"]))
 
 
+@pytest.mark.slow
 def test_pretrain_step_sp_bf16_smoke():
     """--bf16 --tp 2 --sp compiles and produces a finite loss (bf16 changes
     reduction numerics, so this is a smoke test, not an equivalence test)."""

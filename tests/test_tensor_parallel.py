@@ -142,6 +142,7 @@ def test_downstream_train_step_tp_matches_single(tiny_cfg, mesh):
                  params_tp, params_1)
 
 
+@pytest.mark.slow
 def test_pretrain_step_dp_tp_matches_dp(tiny_cfg):
     """The FULL pretrain train step (shard_map manual over dp, GSPMD-auto
     over tp) on a dp=4 x tp=2 mesh must match the 1-D dp=4 mesh exactly:
