@@ -1,19 +1,28 @@
 """Headline benchmark: PV->SMILES k=2 beam-decode throughput (molecules/sec).
 
-Prints the headline JSON line LAST: {"metric", "value", "unit",
-"vs_baseline"}.  Secondary lines printed first when their sub-benches succeed:
+Structure (r4, after BENCH_r03's rc=124): the parent process never touches
+JAX — every device workload runs in its own subprocess worker so the one
+chip is free for each in turn, a SIGKILLed compile cannot take down the
+harness, and a failing child's stderr tail is captured and printed.  A
+single global wall-clock budget (SPMM_BENCH_BUDGET_S, default 1500 s)
+governs everything; each JSON line prints the moment it lands, most
+important first, so a driver kill loses only the tail:
 
-  - pretrain_samples_per_sec_chip (with "mfu"): full-size pretrain step in a
-    fresh subprocess (full-size TPU compiles take ~6 min here and occasionally
-    get SIGKILLed, so it must not take down the headline);
-  - pv2smiles_beam_k2_throughput_100step: the decode at the reference's REAL
-    length cap (reference d_pv2smiles_single.py:86 caps at 100 token steps;
-    the headline 60-step number is length-controlled against the cached torch
-    baseline, which was measured at 60 steps);
-  - host_pipeline_samples_per_sec (also via --pipeline-only, no TPU needed):
+  1. PENDING notes for the two env-blocked golden gates;
+  2. the HEADLINE pv2smiles_beam_k2_throughput line (printed immediately,
+     and printed AGAIN as the final line so "last JSON line" parsers see it);
+  3. pv2smiles_beam_k2_throughput_100step: the decode at the reference's
+     REAL length cap (reference d_pv2smiles_single.py:86 caps at 100 token
+     steps; the headline 60-step number is length-controlled against the
+     cached torch baseline, which was measured at 60 steps);
+  4. host_pipeline_samples_per_sec (also via --pipeline-only, no TPU):
     tokenizer+batching host throughput, which must exceed 8x the single-chip
     pretrain step rate to keep a v5e-8 fed (the reference tokenizes inside
-    the train step — SPMM_models.py:353 — the anti-pattern replaced here).
+    the train step — SPMM_models.py:353 — the anti-pattern replaced here);
+  5. pretrain_samples_per_sec_chip (with "mfu"): full-size pretrain step
+     ladder, LAST, bounded by the remaining budget (in r3 this ladder ran
+     first, failed two rungs at ~10 min of compile each, and starved the
+     headline out of the driver window).
 
 Every timed decode iteration perturbs its inputs: the axon runtime serves
 cached results for repeated identical inputs (NOTES.md), so timing the same
@@ -90,6 +99,8 @@ def bench_spmm_tpu(max_steps: int = MAX_STEPS,
     from spmm_tpu.inference.pv2smiles import _beam_batch
     from spmm_tpu.models.spmm import init_spmm_params
 
+    print(f"decode bench: batch {device_batch}, {max_steps} steps — "
+          "compiling", file=sys.stderr, flush=True)
     params = init_spmm_params(jax.random.PRNGKey(0), with_pretrain_heads=False)
     # stop_count is unreachable: both sides decode the full max_steps tokens
     spec = BeamSpec(k=K, stop_count=K * K * max_steps, stochastic=False,
@@ -106,6 +117,8 @@ def bench_spmm_tpu(max_steps: int = MAX_STEPS,
     pv, rngs = inputs(0)
     out = _beam_batch(params, pv, None, rngs, spec)   # warmup / compile
     jax.block_until_ready(out)
+    print(f"decode bench: batch {device_batch} compiled — timing",
+          file=sys.stderr, flush=True)
 
     n_batches = max(n_molecules // device_batch, 1)
     batches = [inputs(i + 1) for i in range(n_batches)]
@@ -278,7 +291,11 @@ def bench_pretrain() -> dict:
         # one executable for both the run and the flops estimate (a second
         # lower().compile() alongside the jit cache OOMs the chip)
         batch = make_batch(0)
+        print(f"pretrain bench: batch {bs} accum {accum} — compiling",
+              file=sys.stderr, flush=True)
         compiled = step_fn.lower(state, batch, rng).compile()
+        print(f"pretrain bench: batch {bs} compiled — timing",
+              file=sys.stderr, flush=True)
         flops_per_step = compiled_flops(compiled)
         state, metrics = compiled(state, batch, rng)     # warmup
         jax.block_until_ready(state)
@@ -367,7 +384,59 @@ def _load_baseline(key: str, max_steps: int):
     return value
 
 
+def _run_worker(args_list, timeout_s, env_extra=None):
+    """Run one bench worker subprocess; return its last stdout JSON dict or
+    None.  The parent never initializes JAX — the machine has ONE chip, so a
+    child can only get it while the parent holds no TPU client — and worker
+    output goes through temp files (pipes can deadlock on the remote-compile
+    helper's inherited fds).  On failure the child's stderr tail is printed:
+    r3's rc=1 rungs left zero evidence of why (VERDICT r3 weak #3)."""
+    import subprocess
+    import tempfile
+
+    if timeout_s <= 0:
+        print(f"worker {args_list}: no budget left, skipped", file=sys.stderr)
+        return None
+    with tempfile.TemporaryFile(mode="w+") as out, \
+            tempfile.TemporaryFile(mode="w+") as err:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + args_list,
+                stdout=out, stderr=err,
+                env={**os.environ, **(env_extra or {})}, timeout=timeout_s)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        out.seek(0)
+        lines = [ln for ln in out.read().splitlines() if ln.strip()]
+        if rc == 0 and lines and lines[-1].startswith("{"):
+            return json.loads(lines[-1])
+        err.seek(0)
+        tail = err.read().splitlines()[-15:]
+        print(f"worker {args_list} failed rc={rc} "
+              f"(timeout_s={timeout_s:.0f}); stderr tail:", file=sys.stderr)
+        for ln in tail:
+            print(f"  | {ln}", file=sys.stderr)
+        return None
+
+
 def main():
+    # ---- subprocess worker modes (one device workload each) ----
+    # persistent compilation cache: full-size executables (~6 min each on the
+    # axon remote-compile path) are a one-time per-machine cost; a prewarmed
+    # cache turns every worker below into seconds of executable loading
+    from spmm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if "--decode-only" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--decode-only") + 1])
+        default = DEVICE_BATCHES if steps == MAX_STEPS else FULL_STEPS_BATCHES
+        env_b = os.environ.get("SPMM_DECODE_BATCHES")
+        batches = (tuple(int(b) for b in env_b.split(",")) if env_b
+                   else default)
+        print(json.dumps({"value": bench_spmm_tpu_laddered(
+            max_steps=steps, device_batches=batches)}))
+        return
     if "--pretrain-only" in sys.argv:
         print(json.dumps(bench_pretrain()))
         return
@@ -375,110 +444,108 @@ def main():
         print(json.dumps(bench_pipeline()))
         return
 
+    # ---- orchestrator: one global wall-clock budget, headline first ----
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("SPMM_BENCH_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - t_start)
+
     for note in pending_gates():
-        print(note)
+        print(note, flush=True)
 
-    # host-pipeline line (no TPU involved; cheap)
-    try:
-        print(json.dumps(bench_pipeline()))
-    except Exception as e:
-        print(f"pipeline bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # secondary pretrain metric in a subprocess FIRST, before this process
-    # initializes jax: the machine has ONE chip, so the child can only get
-    # it while the parent holds no TPU client.  Output goes through a temp
-    # file (pipes can deadlock on the remote-compile helper's inherited fds)
-    # and a SIGKILLed full-size compile must not take down the headline.
-    import subprocess
-    import tempfile
-    pretrain_line = None
-    # each batch rung runs in a FRESH process: a RESOURCE_EXHAUSTED attempt
-    # leaves the jax client unable to allocate, so in-process fallback lies.
-    # The free HBM on this shared chip varies between rounds (batch 64 ran
-    # in r1, OOMs sometimes in r2); reference per-GPU batch is 96
-    # (SPMM_pretrain.py:16).
-    # rungs: direct large batches first (reference is 96/GPU); when HBM on
-    # this shared chip is short, fall back to gradient accumulation (same
-    # optimizer batch, microbatch-sized activation peak) before shrinking
-    # the batch outright.  A wall-clock budget bounds the ladder: every
-    # failed rung costs a full-size compile (~6-10 min).
-    rung_deadline = time.monotonic() + 2 * PRETRAIN_TIMEOUT_S
-    best_value = None
-    for bs, accum in ((64, 1), (96, 1), (64, 2), (96, 2), (32, 1), (16, 1)):
-        if time.monotonic() > rung_deadline:
-            print("pretrain bench: rung time budget exhausted",
-                  file=sys.stderr)
+    # 1. HEADLINE: 60-step k=2 beam decode (length-controlled vs the cached
+    #    torch-CPU baseline).  Printed the moment it lands AND re-printed as
+    #    the final line below.  Two attempts: a cold batch-256 compile can
+    #    outrun any single window on a contended chip (r4 drive: one 600 s
+    #    timeout while the very next worker compiled 256 fine), so the retry
+    #    drops to the faster-compiling 128/64 rungs (777.5 vs 831.5 mol/s in
+    #    the r3 sweep — 7% off the optimum beats 100% of nothing).
+    headline = None
+    for ladder, cap in (("256,128", 840), ("128,64", 600)):
+        rec = _run_worker(["--decode-only", str(MAX_STEPS)],
+                          min(cap, remaining() - 30),
+                          env_extra={"SPMM_DECODE_BATCHES": ladder})
+        if rec:
+            baseline = _load_baseline("torch_cpu_mol_per_sec", MAX_STEPS)
+            headline = {
+                "metric": "pv2smiles_beam_k2_throughput",
+                "value": round(rec["value"], 3),
+                "unit": "mol/s",
+                "vs_baseline": round(rec["value"] / baseline, 2)
+                if baseline else None,
+            }
+            print(json.dumps(headline), flush=True)
             break
-        try:
-            with tempfile.TemporaryFile(mode="w+") as out:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--pretrain-only"],
-                    stdout=out, stderr=subprocess.DEVNULL,
-                    env={**os.environ, "SPMM_PRETRAIN_BATCH": str(bs),
-                         "SPMM_PRETRAIN_ACCUM": str(accum)},
-                    timeout=PRETRAIN_TIMEOUT_S)
-                out.seek(0)
-                lines = [ln for ln in out.read().splitlines() if ln.strip()]
-            if r.returncode == 0 and lines and lines[-1].startswith("{"):
-                rec = json.loads(lines[-1])
-                # shared-chip measurement sanity: the axon runtime has
-                # produced both physically-impossible fast timings
-                # (block_until_ready returning early -> "MFU" 3.4) and
-                # pathological slow ones (52 s/step at a config that runs
-                # in ~1 s); keep the best PLAUSIBLE rung instead of the
-                # first one that merely completes
-                mfu_v = rec.get("mfu")
-                if mfu_v is not None and mfu_v > 0.85:
-                    print(f"pretrain rung bs={bs} accum={accum}: "
-                          f"implausible mfu={mfu_v}, discarded",
-                          file=sys.stderr)
-                    continue
-                if best_value is None or rec["value"] > best_value:
-                    best_value = rec["value"]
-                    pretrain_line = lines[-1]
-                if rec["value"] >= 100:      # clearly healthy measurement
-                    break
-                print(f"pretrain rung bs={bs} accum={accum}: suspiciously "
-                      f"slow ({rec['value']} samples/s), trying next rung",
-                      file=sys.stderr)
-                continue
-            print(f"pretrain bench at batch {bs} accum {accum}: "
-                  f"rc={r.returncode}", file=sys.stderr)
-        except Exception as e:
-            print(f"pretrain bench at batch {bs} accum {accum}: "
-                  f"{type(e).__name__}", file=sys.stderr)
 
-    value = bench_spmm_tpu_laddered()
-    if pretrain_line:
-        print(pretrain_line)
-
-    # decode at the reference's REAL cap (100 steps) — the regime the
-    # shipped workload actually runs in (d_pv2smiles_single.py:86)
-    try:
-        v100 = bench_spmm_tpu_laddered(max_steps=FULL_STEPS,
-                                       device_batches=FULL_STEPS_BATCHES,
-                                       n_molecules=512)
+    # 2. decode at the reference's REAL cap (100 steps) — the regime the
+    #    shipped workload actually runs in (d_pv2smiles_single.py:86).
+    #    128-first: 459.5 vs 468.6 mol/s @256 (r3 sweep, 2%) for a much
+    #    cheaper cold compile.
+    rec = _run_worker(["--decode-only", str(FULL_STEPS)],
+                      min(540, remaining() - 30),
+                      env_extra={"SPMM_DECODE_BATCHES": "128,64"})
+    if rec:
         b100 = _load_baseline("torch_cpu_mol_per_sec_100", FULL_STEPS)
         print(json.dumps({
             "metric": "pv2smiles_beam_k2_throughput_100step",
-            "value": round(v100, 3),
+            "value": round(rec["value"], 3),
             "unit": "mol/s",
-            "vs_baseline": round(v100 / b100, 2) if b100 else None,
-        }))
-    except Exception as e:
-        print(f"100-step decode bench failed: {type(e).__name__}: {e}",
+            "vs_baseline": round(rec["value"] / b100, 2) if b100 else None,
+        }), flush=True)
+
+    # 3. host-pipeline line (no TPU involved; cheap)
+    rec = _run_worker(["--pipeline-only"], min(180, remaining() - 30))
+    if rec:
+        print(json.dumps(rec), flush=True)
+
+    # 4. pretrain ladder, LAST: each rung is a FRESH process (a
+    #    RESOURCE_EXHAUSTED attempt leaves the jax client unable to allocate,
+    #    so in-process fallback lies), direct large batches first (reference
+    #    per-GPU batch is 96, SPMM_pretrain.py:16), gradient accumulation as
+    #    the low-HBM fallback.  Every failed rung costs a full-size compile
+    #    (~6-10 min), so the ladder is strictly budget-bounded.
+    pretrain_line, best_value = None, None
+    for bs, accum in ((64, 1), (96, 1), (32, 1), (64, 2), (16, 1)):
+        if remaining() < 480:
+            print(f"pretrain ladder stopped: {remaining():.0f}s budget left",
+                  file=sys.stderr)
+            break
+        rec = _run_worker(
+            ["--pretrain-only"],
+            min(PRETRAIN_TIMEOUT_S, remaining() - 60),
+            env_extra={"SPMM_PRETRAIN_BATCH": str(bs),
+                       "SPMM_PRETRAIN_ACCUM": str(accum)})
+        if rec is None:
+            continue
+        # shared-chip measurement sanity: the axon runtime has produced both
+        # physically-impossible fast timings (block_until_ready returning
+        # early -> "MFU" 3.4) and pathological slow ones (52 s/step at a
+        # config that runs in ~1 s); keep the best PLAUSIBLE rung instead of
+        # the first one that merely completes
+        mfu_v = rec.get("mfu")
+        if mfu_v is not None and mfu_v > 0.85:
+            print(f"pretrain rung bs={bs} accum={accum}: implausible "
+                  f"mfu={mfu_v}, discarded", file=sys.stderr)
+            continue
+        if best_value is None or rec["value"] > best_value:
+            best_value = rec["value"]
+            pretrain_line = json.dumps(rec)
+            print(pretrain_line, flush=True)
+        if rec["value"] >= 100:          # clearly healthy measurement
+            break
+        print(f"pretrain rung bs={bs} accum={accum}: suspiciously slow "
+              f"({rec['value']} samples/s), trying next rung",
               file=sys.stderr)
 
-    baseline = _load_baseline("torch_cpu_mol_per_sec", MAX_STEPS)
-    result = {
-        "metric": "pv2smiles_beam_k2_throughput",
-        "value": round(value, 3),
-        "unit": "mol/s",
-        "vs_baseline": round(value / baseline, 2) if baseline else None,
-    }
-    print(json.dumps(result))
+    # final line = the headline, re-printed so last-JSON-line parsers (the
+    # driver's BENCH_r*.json "parsed" field) record the north-star metric
+    if headline is not None:
+        print(json.dumps(headline), flush=True)
+    else:
+        print("headline decode bench FAILED this run — see stderr above",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -9,11 +9,17 @@ import numpy as np
 
 from spmm_tpu.chem.normalize import PropertyStats
 from spmm_tpu.tokenizer import SmilesTokenizer
+from spmm_tpu.utils.compile_cache import enable_compilation_cache
 
 
 def seed_everything(seed: Optional[int]) -> int:
     """Random seed per run unless given (reference seeds randomly in most
-    scripts, d_smiles2pv.py:113; fixed via --seed in fine-tunes)."""
+    scripts, d_smiles2pv.py:113; fixed via --seed in fine-tunes).
+
+    Also flips on the persistent compilation cache: every CLI run calls this
+    before its first jit, so full-size executables compile once per machine.
+    """
+    enable_compilation_cache()
     if seed is None:
         seed = random.randint(0, 1000)
     random.seed(seed)

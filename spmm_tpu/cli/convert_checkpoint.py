@@ -52,6 +52,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from spmm_tpu.checkpoint.io import load_spmm_params, save_checkpoint
+    from spmm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.to_torch:
         from spmm_tpu.checkpoint.export import save_torch_checkpoint

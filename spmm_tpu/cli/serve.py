@@ -144,6 +144,9 @@ def main(argv=None):
                         "its remaining run time on top)")
     args = p.parse_args(argv)
 
+    from spmm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     tok = make_tokenizer()
     stats = load_stats()
     params = load_spmm_params(args.checkpoint, with_pretrain_heads=False)

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent compilation cache: the suite's multi-device XLA-CPU train-step
+# compiles dominate its wall time and are identical run-to-run; entries are
+# keyed on HLO + backend/topology so they never collide with TPU runs
+from spmm_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
