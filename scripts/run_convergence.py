@@ -66,7 +66,7 @@ def run_phase(corpus, cache, out_dir, steps, save_every, batch_size,
            "--output_dir", out_dir, "--batch_size", str(batch_size),
            "--queue_size", str(batch_size * 8), "--epochs", "100",
            "--save_every", str(save_every), "--max_steps", str(steps),
-           "--bf16", "--remat", *extra]
+           "--bf16", "--remat", "--donate", *extra]
     if resume:
         cmd += ["--resume", resume]
     print("+", " ".join(cmd), flush=True)
