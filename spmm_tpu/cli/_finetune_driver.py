@@ -106,7 +106,10 @@ def run_finetune(
             params = {**params, "encoder": enc}
 
     steps_per_epoch = max(len(train_ds) // fcfg.batch_size_train, 1)
-    tx, step = make_downstream_step(task, fcfg, steps_per_epoch, cfg)
+    # donate: the loop reassigns (params, opt_state) every step and eval only
+    # ever reads the latest params — see make_downstream_step's contract
+    tx, step = make_downstream_step(task, fcfg, steps_per_epoch, cfg,
+                                    donate=True)
     opt_state = tx.init(params)
 
     higher_better = task != "regression"

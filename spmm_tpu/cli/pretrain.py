@@ -78,8 +78,10 @@ def main(argv=None):
                         "negatives become microbatch-local, = reference DDP "
                         "semantics on accum-fold more ranks)")
     p.add_argument("--donate", action="store_true",
-                   help="donate state buffers (~2GB HBM; broken on the axon "
-                        "remote runtime)")
+                   help="donate state buffers: halves state HBM and, on "
+                        "remote runtimes that charge a round-trip per new "
+                        "output buffer, removes the multi-minute allocation "
+                        "storm on the first two steps (recommended on TPU)")
     p.add_argument("--metrics_log", default=None,
                    help="JSONL metrics path (default <output_dir>/metrics.jsonl)")
     p.add_argument("--async_save", action="store_true",
@@ -175,9 +177,11 @@ def main(argv=None):
         state = jax.device_put(state, fsdp_state_shardings(state, mesh))
     else:
         state = jax.device_put(state, replicated(mesh))
-    # NOTE: donate=True saves ~2GB HBM but triggers INVALID_ARGUMENT at
-    # execution time on the axon remote-TPU runtime; enable it on standard
-    # PJRT TPU runtimes via --donate
+    # NOTE: donate=True halves state HBM and avoids the axon runtime's
+    # per-new-buffer allocation storm on the first two steps (~0.4 s per
+    # output leaf; the r2-era INVALID_ARGUMENT on donation is fixed
+    # runtime-side, re-verified r4).  Kept opt-in because a donated AOT
+    # call invalidates the previous state reference for host-side reuse.
     fsdp_out = None
     if args.fsdp > 1:
         from spmm_tpu.parallel.fsdp import fsdp_state_shardings

@@ -116,7 +116,10 @@ def main(argv=None):
                           batch_size_train=args.batch_size,
                           warmup_epochs=1, step_size=100)
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    tx, step = make_rxn_step(fcfg, steps_per_epoch, decoder_cfg, encoder_cfg)
+    # donate: the loop reassigns (params, opt_state) every step and only the
+    # latest params are evaluated/saved — see make_downstream_step's contract
+    tx, step = make_rxn_step(fcfg, steps_per_epoch, decoder_cfg, encoder_cfg,
+                             donate=True)
     opt_state = tx.init(params)
 
     mesh = auto_mesh()                 # all visible chips, no flag needed

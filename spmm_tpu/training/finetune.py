@@ -45,14 +45,21 @@ def make_downstream_step(
     fcfg: FinetuneConfig,
     steps_per_epoch: int,
     cfg: Optional[BertArchConfig] = None,
+    donate: bool = False,
 ):
+    """``donate=True`` donates (params, opt_state): train loops that
+    reassign both every step should enable it — it halves the train-state
+    HBM and, on remote runtimes that charge a round-trip per newly
+    allocated output buffer (axon: ~0.4 s/leaf on the first two
+    dispatches), removes the startup allocation storm.  The caller must
+    not reuse a pre-step params/opt_state reference afterwards."""
     cfg = cfg or text_config()
     tx = make_finetune_optimizer(fcfg)
     schedule = reference_cosine_schedule(
         fcfg.lr, fcfg.min_lr, fcfg.warmup_lr, fcfg.epochs,
         fcfg.warmup_epochs, steps_per_epoch, step_size=fcfg.step_size)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, global_step, batch, rng):
         lr = schedule(global_step)
         loss, grads = jax.value_and_grad(downstream_loss)(
@@ -71,7 +78,9 @@ def make_rxn_step(
     steps_per_epoch: int,
     decoder_cfg: Optional[BertArchConfig] = None,
     encoder_cfg: Optional[BertArchConfig] = None,
+    donate: bool = False,
 ):
+    """``donate`` as in :func:`make_downstream_step`."""
     from spmm_tpu.configs import smiles_config
 
     decoder_cfg = decoder_cfg or text_config()
@@ -81,7 +90,7 @@ def make_rxn_step(
         fcfg.lr, fcfg.min_lr, fcfg.warmup_lr, fcfg.epochs,
         fcfg.warmup_epochs, steps_per_epoch, step_size=fcfg.step_size)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, global_step, batch, rng):
         lr = schedule(global_step)
         loss, grads = jax.value_and_grad(rxn_loss)(
