@@ -88,13 +88,14 @@ RELEASED_CKPT_CANDIDATES = (
 
 def bench_spmm_tpu_laddered(max_steps: int = MAX_STEPS,
                             device_batches=DEVICE_BATCHES,
-                            n_molecules: int = N_MOLECULES) -> float:
+                            n_molecules: int = N_MOLECULES,
+                            emit=None) -> float:
     """Try device batches largest-first; an OOM (RESOURCE_EXHAUSTED on the
     shared chip when free HBM is low) falls through to the next rung."""
     last_err = None
     for db in device_batches:
         try:
-            return bench_spmm_tpu(max_steps, db, n_molecules)
+            return bench_spmm_tpu(max_steps, db, n_molecules, emit=emit)
         except Exception as e:
             print(f"decode bench at batch {db}: {type(e).__name__}",
                   file=sys.stderr)
@@ -104,7 +105,15 @@ def bench_spmm_tpu_laddered(max_steps: int = MAX_STEPS,
 
 def bench_spmm_tpu(max_steps: int = MAX_STEPS,
                    device_batch: int = 256,
-                   n_molecules: int = N_MOLECULES) -> float:
+                   n_molecules: int = N_MOLECULES,
+                   emit=None) -> float:
+    """`emit(v)` (optional) is called with the cumulative throughput after
+    each completed timed batch EXCEPT the last: on the shared chip a single
+    dispatch has stalled >10 min mid-timing-loop (r4 prewarm: the 900 s
+    decode-suite worker died with the compile done and zero output), and a
+    partial line over the batches that DID complete — each with a hard host
+    data dependency — is an honest reading the parent's partial-output
+    parser can keep."""
     import jax
     from spmm_tpu.inference.decoding import BeamSpec
     from spmm_tpu.inference.pv2smiles import _beam_batch
@@ -136,13 +145,15 @@ def bench_spmm_tpu(max_steps: int = MAX_STEPS,
     jax.block_until_ready(batches)
     t0 = time.perf_counter()
     sums = []
-    for pv, rngs in batches:
+    for i, (pv, rngs) in enumerate(batches):
         out = _beam_batch(params, pv, None, rngs, spec)
         # hard host data dependency per iteration: the axon runtime's
         # block_until_ready intermittently returns early (observed r3:
         # impossible 3.4 "MFU" timings); fetching a reduction of the
         # result cannot lie
         sums.append(int(jax.device_get(out["lengths"].sum())))
+        if emit is not None and i + 1 < n_batches:
+            emit((i + 1) * device_batch / (time.perf_counter() - t0))
     dt = time.perf_counter() - t0
     assert all(s > 0 for s in sums)
     return n_batches * device_batch / dt
@@ -493,17 +504,30 @@ def main():
         env_b = os.environ.get("SPMM_DECODE_BATCHES")
         batches = (tuple(int(b) for b in env_b.split(",")) if env_b
                    else default)
+        def emit_partial(v):
+            print(json.dumps({"value": round(v, 3), "partial": True}),
+                  flush=True)
         print(json.dumps({"value": bench_spmm_tpu_laddered(
-            max_steps=steps, device_batches=batches)}))
+            max_steps=steps, device_batches=batches, emit=emit_partial)}))
         return
     if "--decode-suite" in sys.argv:
         # both decode lengths in ONE process: imports + init + jax client
         # setup are paid once, and each result line flushes the moment it
         # lands so a timeout mid-100-step-compile keeps the 60-step headline
+        # (and a cumulative partial line lands after every timed batch, so a
+        # dispatch stall mid-timing-loop keeps the completed batches too)
+        def emit60(v):
+            print(json.dumps({"which": "headline", "value": round(v, 3),
+                              "partial": True}), flush=True)
+        def emit100(v):
+            print(json.dumps({"which": "100step", "value": round(v, 3),
+                              "partial": True}), flush=True)
         print(json.dumps({"which": "headline", "value": bench_spmm_tpu_laddered(
-            max_steps=MAX_STEPS, device_batches=(256, 128))}), flush=True)
+            max_steps=MAX_STEPS, device_batches=(256, 128), emit=emit60)}),
+            flush=True)
         print(json.dumps({"which": "100step", "value": bench_spmm_tpu_laddered(
-            max_steps=FULL_STEPS, device_batches=(128, 64))}), flush=True)
+            max_steps=FULL_STEPS, device_batches=(128, 64), emit=emit100)}),
+            flush=True)
         return
     if "--pretrain-only" in sys.argv:
         print(json.dumps(bench_pretrain()))

@@ -129,3 +129,56 @@ def test_implausible_mfu_discarded(bench, monkeypatch, capsys):
                 "pretrain_samples_per_sec_chip"]
     assert [p["value"] for p in pretrain] == [320.0]
     assert fake.pretrain_calls == [(64, 1), (96, 1)]
+
+
+class ScriptedDecodeWorkers(FakeWorkers):
+    """FakeWorkers whose decode workers follow a per-call script instead of
+    always succeeding — models a timed-out worker whose already-flushed
+    partial lines are all the parent gets back."""
+
+    def __init__(self, decode_script, pretrain_script):
+        super().__init__(pretrain_script)
+        self.decode_script = list(decode_script)
+        self.decode_calls = []
+
+    def __call__(self, args_list, timeout_s, env_extra=None, want_err=False):
+        if "--decode-suite" in args_list or "--decode-only" in args_list:
+            self.decode_calls.append(list(args_list))
+            recs = self.decode_script.pop(0)
+            return (recs, "") if want_err else recs
+        return super().__call__(args_list, timeout_s, env_extra, want_err)
+
+
+def test_partial_headline_from_timed_out_worker_kept(bench, monkeypatch,
+                                                     capsys):
+    # r4 prewarm pathology: the decode-suite worker stalled mid-timing-loop
+    # and was killed at 900 s — with cumulative partial emission its flushed
+    # partial line IS the headline, no retry burned (it is above the sane
+    # floor), and it is re-printed last for the driver's last-line parser.
+    fake = ScriptedDecodeWorkers(
+        decode_script=[[{"which": "headline", "value": 620.0,
+                         "partial": True}],
+                       [{"value": 400.0}]],      # dedicated 100-step fallback
+        pretrain_script=[pretrain_rec(64, 1, 300.0)])
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    # the partial is above the floor: no 60-step retry — the only follow-up
+    # decode call is the dedicated 100-step fallback
+    assert len(fake.decode_calls) == 2
+    assert fake.decode_calls[1] == ["--decode-only", "100"]
+    assert lines[-1]["metric"] == "pv2smiles_beam_k2_throughput"
+    assert lines[-1]["value"] == 620.0
+
+
+def test_subfloor_partial_retried_and_best_kept(bench, monkeypatch, capsys):
+    # a contention-artifact partial (below DECODE_SANE_FLOOR) still earns
+    # the retry; the best reading across attempts wins
+    fake = ScriptedDecodeWorkers(
+        decode_script=[[{"which": "headline", "value": 47.0,
+                         "partial": True}],
+                       [{"value": 810.0}],       # 60-step retry
+                       [{"value": 400.0}]],      # dedicated 100-step fallback
+        pretrain_script=[pretrain_rec(64, 1, 300.0)])
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    assert len(fake.decode_calls) == 3
+    assert fake.decode_calls[1] == ["--decode-only", "60"]
+    assert lines[-1]["value"] == 810.0
