@@ -24,10 +24,19 @@ important first, so a driver kill loses only the tail:
     tokenizer+batching host throughput, which must exceed 8x the single-chip
     pretrain step rate to keep a v5e-8 fed (the reference tokenizes inside
     the train step — SPMM_models.py:353 — the anti-pattern replaced here);
-  5. pretrain_samples_per_sec_chip (with "mfu"): full-size pretrain step
+  5. smiles2pv_mol_per_sec + rxn_greedy_mol_per_sec: the two remaining
+     reference decode surfaces (d_smiles2pv.py:29-75,
+     d_rxn_prediction.py:55-81), budget-gated, vs the torch-CPU
+     reference-strategy baselines (cached in bench_baseline.json);
+  6. pretrain_samples_per_sec_chip (with "mfu"): full-size pretrain step
      ladder, LAST, bounded by the remaining budget (in r3 this ladder ran
      first, failed two rungs at ~10 min of compile each, and starved the
-     headline out of the driver window).
+     headline out of the driver window).  After the ladder, leftover budget
+     buys the best-MFU rung (batch 32, the r2 0.555 record config) and the
+     reference-batch-96-via-accumulation rung, then a "pretrain_mfu" line
+     reports the best plausible utilization witnessed — throughput and MFU
+     are different optima and the ladder's early break must not starve the
+     second (VERDICT r4).
 
 Every timed decode iteration perturbs its inputs: the axon runtime serves
 cached results for repeated identical inputs (NOTES.md), so timing the same
@@ -152,7 +161,11 @@ def bench_spmm_tpu(max_steps: int = MAX_STEPS,
         # impossible 3.4 "MFU" timings); fetching a reduction of the
         # result cannot lie
         sums.append(int(jax.device_get(out["lengths"].sum())))
-        if emit is not None and i + 1 < n_batches:
+        # sums[-1] > 0 is the same validity gate as the post-loop assert: a
+        # flushed partial must never include a zero-length (broken) batch —
+        # the laddered wrapper swallows the AssertionError, and the parent
+        # would keep the invalid partial via max() (ADVICE r4)
+        if emit is not None and i + 1 < n_batches and sums[-1] > 0:
             emit((i + 1) * device_batch / (time.perf_counter() - t0))
     dt = time.perf_counter() - t0
     assert all(s > 0 for s in sums)
@@ -265,6 +278,182 @@ def bench_pipeline() -> dict:
     }
 
 
+def bench_smiles2pv_line() -> dict:
+    """SMILES->PV throughput on the chip (reference d_smiles2pv.py:29-75
+    workload: 53-step autoregressive property decode).  One JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from spmm_tpu.inference.smiles2pv import predict_pv
+    from spmm_tpu.models.spmm import init_spmm_params
+
+    seq_len = 48
+    params = init_spmm_params(jax.random.PRNGKey(0), with_pretrain_heads=False)
+
+    def inputs(i, batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+        return (jax.random.randint(key, (batch, seq_len), 4, 300),
+                jnp.ones((batch, seq_len), jnp.int32))
+
+    last_err = None
+    for batch in (128, 64):   # r3 sweep: 221.8 mol/s @128, 169.6 @64 (fp32)
+        try:
+            print(f"smiles2pv bench: batch {batch} — compiling",
+                  file=sys.stderr, flush=True)
+            out = predict_pv(params, *inputs(0, batch))
+            jax.block_until_ready(out)
+            n_iter = 5
+            batches = [inputs(i + 1, batch) for i in range(n_iter)]
+            jax.block_until_ready(batches)
+            t0 = time.perf_counter()
+            for b in batches:
+                out = predict_pv(params, *b)
+                # hard host data dependency (axon block_until_ready lies)
+                float(jax.device_get(jnp.abs(out).sum()))
+            dt = time.perf_counter() - t0
+            value = n_iter * batch / dt
+            return {"metric": "smiles2pv_mol_per_sec",
+                    "value": round(value, 1), "unit": "mol/s",
+                    "vs_baseline": None, "batch": batch, "seq_len": seq_len}
+        except Exception as e:
+            print(f"smiles2pv bench at batch {batch}: {type(e).__name__}",
+                  file=sys.stderr)
+            last_err = e
+    raise last_err
+
+
+def bench_rxn_greedy_line() -> dict:
+    """Reaction-prediction greedy decode throughput on the chip (reference
+    d_rxn_prediction.py:55-81 workload: whole-set batched greedy, cap 100).
+    One JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from spmm_tpu.inference.rxn import _greedy_batch
+    from spmm_tpu.models.rxn import init_rxn_params
+
+    src_len, max_steps = 96, FULL_STEPS
+    params = init_rxn_params(jax.random.PRNGKey(0))
+
+    def inputs(i, batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+        ids = jax.random.randint(key, (batch, src_len), 4, 300).at[:, 0].set(2)
+        return ids, jnp.ones((batch, src_len), jnp.int32)
+
+    last_err = None
+    for batch in (128, 64):   # r3 sweep: 413.9 mol/s @128
+        try:
+            print(f"rxn greedy bench: batch {batch} — compiling",
+                  file=sys.stderr, flush=True)
+            out = _greedy_batch(params, *inputs(0, batch),
+                                max_steps=max_steps)
+            jax.block_until_ready(out)
+            n_iter = 3
+            batches = [inputs(i + 1, batch) for i in range(n_iter)]
+            jax.block_until_ready(batches)
+            t0 = time.perf_counter()
+            for b in batches:
+                out = _greedy_batch(params, *b, max_steps=max_steps)
+                # hard host data dependency (axon block_until_ready lies)
+                int(jax.device_get(out["seqs"].sum()))
+            dt = time.perf_counter() - t0
+            value = n_iter * batch / dt
+            return {"metric": "rxn_greedy_mol_per_sec",
+                    "value": round(value, 1), "unit": "mol/s",
+                    "vs_baseline": None, "batch": batch,
+                    "src_len": src_len, "max_steps": max_steps}
+        except Exception as e:
+            print(f"rxn greedy bench at batch {batch}: {type(e).__name__}",
+                  file=sys.stderr)
+            last_err = e
+    raise last_err
+
+
+def bench_torch_smiles2pv_baseline() -> float:
+    """Reference smiles2pv strategy on torch CPU (d_smiles2pv.py:14-26):
+    53 full (property-encoder + fusion-decoder) re-forwards of the growing
+    property prefix per batch; mol/s."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from reference_shim import import_reference_xbert
+
+    ref = import_reference_xbert()
+    import torch
+
+    torch.manual_seed(0)
+    text = ref.BertForMaskedLM(
+        config=ref.BertConfig.from_json_file(
+            "/root/reference/config_bert.json")).eval()
+    prop = ref.BertModel(
+        config=ref.BertConfig.from_json_file(
+            "/root/reference/config_bert_property.json"),
+        add_pooling_layer=False).eval()
+    embed = torch.nn.Linear(1, 768)
+    head = torch.nn.Linear(768, 1)
+
+    batch, seq_len = 4, 48
+    ids = torch.randint(4, 300, (batch, seq_len))
+    mask = torch.ones(batch, seq_len, dtype=torch.long)
+    with torch.no_grad():
+        text_embeds = text.bert(ids, attention_mask=mask, return_dict=True,
+                                mode="text").last_hidden_state
+        t0 = time.perf_counter()
+        prop_in = torch.zeros(batch, 1, 768)
+        for _ in range(53):   # d_smiles2pv.py:66-70
+            n = prop_in.size(1)
+            out = prop(inputs_embeds=prop_in,
+                       return_dict=True).last_hidden_state
+            out = text.bert(encoder_embeds=out,
+                            attention_mask=torch.ones(batch, n,
+                                                      dtype=torch.long),
+                            encoder_hidden_states=text_embeds,
+                            encoder_attention_mask=mask,
+                            return_dict=True, is_decoder=True,
+                            mode="fusion").last_hidden_state
+            pred = head(out[:, -1, :])
+            prop_in = torch.cat([prop_in, embed(pred).unsqueeze(1)], dim=1)
+        dt = time.perf_counter() - t0
+    return batch / dt
+
+
+def bench_torch_rxn_greedy_baseline() -> float:
+    """Reference rxn greedy strategy on torch CPU (d_rxn_prediction.py:55-81):
+    full-prefix decoder re-forward per token, batched, cap 100; mol/s."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from reference_shim import import_reference_xbert
+
+    ref = import_reference_xbert()
+    import torch
+
+    torch.manual_seed(0)
+    dec = ref.BertForMaskedLM(
+        config=ref.BertConfig.from_json_file(
+            "/root/reference/config_bert.json")).eval()
+    enc = ref.BertForMaskedLM(
+        config=ref.BertConfig.from_json_file(
+            "/root/reference/config_bert_smiles.json")).eval()
+
+    batch, src_len = 4, 96
+    src = torch.randint(4, 300, (batch, src_len))
+    src[:, 0] = 2
+    src_mask = torch.ones(batch, src_len, dtype=torch.long)
+    with torch.no_grad():
+        hidden = enc.bert(src, attention_mask=src_mask, return_dict=True,
+                          mode="text").last_hidden_state
+        t0 = time.perf_counter()
+        product = torch.full((batch, 1), 2)
+        for _ in range(FULL_STEPS):   # d_rxn_prediction.py:62-76
+            logits = dec(product,
+                         attention_mask=torch.ones_like(product),
+                         encoder_hidden_states=hidden,
+                         encoder_attention_mask=src_mask,
+                         return_dict=True, is_decoder=True,
+                         return_logits=True)[:, -1, :]
+            nxt = logits.argmax(dim=-1, keepdim=True)
+            product = torch.cat([product, nxt], dim=-1)
+        dt = time.perf_counter() - t0
+    return batch / dt
+
+
 def bench_pretrain() -> dict:
     """Full-size data-parallel pretrain step on one chip: samples/s + MFU.
 
@@ -355,7 +544,11 @@ def bench_pretrain() -> dict:
         # Two windows, best-window mean: an 18 s contention burst
         # (observed r3) poisons at most one window; the window is wide so
         # the one unavoidable end-of-window fetch RTT amortizes to noise.
-        n_windows, window = 2, 12
+        # THREE windows: contention bursts (18 s dispatch stalls observed
+        # r3) poison whole windows, and the per-window spread is itself the
+        # contention evidence the record carries (step_ms_windows below) —
+        # wall clock alone can't distinguish "slow chip" from "slow session"
+        n_windows, window = 3, 12
         batches = [make_batch(i + 1) for i in range(n_windows * window)]
         jax.block_until_ready(batches)
         all_metrics, per_window = [], []
@@ -371,11 +564,11 @@ def bench_pretrain() -> dict:
         # finite check on EVERY step's loss, fetched outside the clock
         losses = [float(m["loss"]) for m in all_metrics]
         assert all(np.isfinite(l) for l in losses)
-        return dt, flops_per_step
+        return dt, flops_per_step, per_window
 
     bs = int(os.environ.get("SPMM_PRETRAIN_BATCH", PRETRAIN_BATCH))
     accum = int(os.environ.get("SPMM_PRETRAIN_ACCUM", "1"))
-    dt, flops_per_step = run_at_batch(bs, accum)
+    dt, flops_per_step, per_window = run_at_batch(bs, accum)
     util = mfu(flops_per_step, dt, n_chips=1)
     return {
         "metric": "pretrain_samples_per_sec_chip",
@@ -386,6 +579,12 @@ def bench_pretrain() -> dict:
         "batch": bs,
         "accum": accum,
         "remat": os.environ.get("SPMM_PRETRAIN_REMAT", "1") == "1",
+        # per-window wall-clock step time: the spread across windows is the
+        # contention witness — a tight spread means the best-window reading
+        # IS the chip's speed; a wide one means the session was contended
+        "step_ms_best": round(dt * 1000, 1),
+        "step_ms_windows": [round(w * 1000, 1) for w in per_window],
+        "flops_per_step": flops_per_step,
     }
 
 
@@ -431,7 +630,12 @@ def _load_baseline(key: str, max_steps: int):
     if key in cache:
         return cache[key]
     try:
-        value = bench_torch_cpu_baseline(max_steps)
+        if key == "torch_cpu_smiles2pv":
+            value = bench_torch_smiles2pv_baseline()
+        elif key == "torch_cpu_rxn_greedy":
+            value = bench_torch_rxn_greedy_baseline()
+        else:
+            value = bench_torch_cpu_baseline(max_steps)
     except Exception as e:  # reference/torch unavailable
         print(f"baseline measurement unavailable: {e}", file=sys.stderr)
         return None
@@ -535,6 +739,12 @@ def main():
     if "--pipeline-only" in sys.argv:
         print(json.dumps(bench_pipeline()))
         return
+    if "--smiles2pv-only" in sys.argv:
+        print(json.dumps(bench_smiles2pv_line()))
+        return
+    if "--rxn-greedy-only" in sys.argv:
+        print(json.dumps(bench_rxn_greedy_line()))
+        return
 
     # ---- orchestrator: one global wall-clock budget, headline first ----
     t_start = time.monotonic()
@@ -562,14 +772,29 @@ def main():
                 (["--decode-only", str(MAX_STEPS)], 600,
                  {"SPMM_DECODE_BATCHES": "128,64"})]
     for args_list, cap, env in attempts:
+        # within one attempt, a completed (non-partial) reading supersedes
+        # the cumulative partials that led up to it: at batch 256 only two
+        # batches run, so a 1-batch partial is the noisier estimate and
+        # max() would bias the headline upward for free (ADVICE r4)
+        fin = {"headline": None, "100step": None}
+        part = {"headline": None, "100step": None}
         for rec in _run_worker(args_list, min(cap, remaining() - 30), env):
             v = rec.get("value")
             if v is None:
                 continue
-            if rec.get("which") == "100step":
-                best_100 = max(best_100 or 0.0, v)
+            which = "100step" if rec.get("which") == "100step" else "headline"
+            if rec.get("partial"):
+                part[which] = v      # last partial = most batches completed
             else:
-                best_60 = max(best_60 or 0.0, v)
+                fin[which] = max(fin[which] or 0.0, v)
+        cand_60 = fin["headline"] if fin["headline"] is not None \
+            else part["headline"]
+        cand_100 = fin["100step"] if fin["100step"] is not None \
+            else part["100step"]
+        if cand_60 is not None:
+            best_60 = max(best_60 or 0.0, cand_60)
+        if cand_100 is not None:
+            best_100 = max(best_100 or 0.0, cand_100)
         if best_60 is not None and best_60 >= DECODE_SANE_FLOOR:
             break
         if remaining() < 430:   # even a warm retry needs ~400s on this chip
@@ -612,6 +837,26 @@ def main():
             pipeline_line = rec
             print(json.dumps(rec), flush=True)
 
+    # 3b. smiles2pv + rxn-greedy throughput: the two remaining reference
+    #     decode surfaces (d_smiles2pv.py:29-75, d_rxn_prediction.py:55-81)
+    #     get their first driver witness here (VERDICT r4 item 3).  Budget-
+    #     gated: each is ~1-2 min on a warm compile cache; skipped cleanly
+    #     when the decode suite ate the window.  vs_baseline is the torch-CPU
+    #     reference-strategy rate, measured once and cached like the decode
+    #     baseline.
+    for flag, base_key in (("--smiles2pv-only", "torch_cpu_smiles2pv"),
+                           ("--rxn-greedy-only", "torch_cpu_rxn_greedy")):
+        if remaining() < 240:
+            print(f"{flag} skipped: {remaining():.0f}s budget left",
+                  file=sys.stderr)
+            continue
+        for rec in _run_worker([flag], min(420, remaining() - 30)):
+            if rec.get("metric"):
+                base = _load_baseline(base_key, 0)
+                if base:
+                    rec["vs_baseline"] = round(rec["value"] / base, 2)
+                print(json.dumps(rec), flush=True)
+
     # 4. pretrain ladder, LAST: each rung is a FRESH process (a
     #    RESOURCE_EXHAUSTED attempt leaves the jax client unable to allocate,
     #    so in-process fallback lies), direct large batches first (reference
@@ -626,9 +871,40 @@ def main():
     # ~10 min to an HTTP 500), so it must never be the first rung; an OOM at
     # 64 skips it via the floor.  Then 64 via accumulation (microbatch 32,
     # the low-HBM batch>=64 fallback) and plain 32/16.
-    rungs = [(64, 1), (96, 1), (64, 2), (32, 1), (16, 1)]
+    rungs = [(64, 1), (96, 1), (64, 2), (96, 3), (32, 1), (16, 1)]
     pretrain_line, best_value = None, None
+    plausible_recs = []   # every plausible rung reading, for the MFU line
+    attempted = set()     # configs that got a worker call (ladder or extras)
     oom_floor = None   # smallest per-microbatch size that hit RESOURCE_EXHAUSTED
+
+    def run_rung(bs, accum):
+        """One pretrain worker call; returns a plausible rec or None (and
+        updates the OOM floor).  Shared-chip measurement sanity: the axon
+        runtime has produced both physically-impossible fast timings
+        (block_until_ready returning early -> "MFU" 3.4) and pathological
+        slow ones (52 s/step at a config that runs in ~1 s)."""
+        nonlocal oom_floor
+        attempted.add((bs, accum))
+        recs, err_tail = _run_worker(
+            ["--pretrain-only"],
+            min(PRETRAIN_TIMEOUT_S, remaining() - 60),
+            env_extra={"SPMM_PRETRAIN_BATCH": str(bs),
+                       "SPMM_PRETRAIN_ACCUM": str(accum)},
+            want_err=True)
+        rec = next((r for r in recs if r.get("value") is not None), None)
+        if rec is None:
+            if "RESOURCE_EXHAUSTED" in err_tail:
+                micro = bs // accum
+                oom_floor = min(oom_floor or micro + 1, micro)
+            return None
+        mfu_v = rec.get("mfu")
+        if mfu_v is not None and mfu_v > 0.85:
+            print(f"pretrain rung bs={bs} accum={accum}: implausible "
+                  f"mfu={mfu_v}, discarded", file=sys.stderr)
+            return None
+        plausible_recs.append(rec)
+        return rec
+
     retried = set()
     i = 0
     while i < len(rungs):
@@ -649,26 +925,8 @@ def main():
                   f"(microbatch {micro} >= OOMed {oom_floor})",
                   file=sys.stderr)
             continue
-        recs, err_tail = _run_worker(
-            ["--pretrain-only"],
-            min(PRETRAIN_TIMEOUT_S, remaining() - 60),
-            env_extra={"SPMM_PRETRAIN_BATCH": str(bs),
-                       "SPMM_PRETRAIN_ACCUM": str(accum)},
-            want_err=True)
-        rec = next((r for r in recs if r.get("value") is not None), None)
+        rec = run_rung(bs, accum)
         if rec is None:
-            if "RESOURCE_EXHAUSTED" in err_tail:
-                oom_floor = min(oom_floor or micro + 1, micro)
-            continue
-        # shared-chip measurement sanity: the axon runtime has produced both
-        # physically-impossible fast timings (block_until_ready returning
-        # early -> "MFU" 3.4) and pathological slow ones (52 s/step at a
-        # config that runs in ~1 s); keep the best PLAUSIBLE rung instead of
-        # the first one that merely completes
-        mfu_v = rec.get("mfu")
-        if mfu_v is not None and mfu_v > 0.85:
-            print(f"pretrain rung bs={bs} accum={accum}: implausible "
-                  f"mfu={mfu_v}, discarded", file=sys.stderr)
             continue
         if best_value is None or rec["value"] > best_value:
             best_value = rec["value"]
@@ -691,6 +949,60 @@ def main():
         print(f"pretrain rung bs={bs} accum={accum}: suspiciously slow "
               f"({rec['value']} samples/s), trying next rung",
               file=sys.stderr)
+
+    # 4b. post-ladder extras (VERDICT r4 items 1 and 4): the ladder above
+    #     optimizes "best samples/s, largest batch first" and breaks at the
+    #     first healthy rung — but best-MFU and the reference's per-device
+    #     batch-96 semantics are DIFFERENT optima that the break structurally
+    #     starved in r4.  Spend leftover budget on them, highest priority
+    #     first: (32,1) is the historical MFU record config (r2: 0.555), and
+    #     (96,3) emulates the reference per-GPU batch (SPMM_pretrain.py:16)
+    #     via accumulation since direct 96 cannot compile on this runtime.
+    extras = [(32, 1, "best-MFU rung"), (96, 3, "reference-batch-96 rung")]
+    for bs, accum, why in extras:
+        if (bs, accum) in attempted:
+            continue
+        micro = bs // accum
+        if oom_floor is not None and micro >= oom_floor:
+            continue
+        if remaining() < 270:
+            print(f"pretrain extra ({why}) skipped: "
+                  f"{remaining():.0f}s budget left", file=sys.stderr)
+            continue
+        rec = run_rung(bs, accum)
+        if rec is not None and rec["value"] < 100 and remaining() > 270:
+            print(f"pretrain extra bs={bs} accum={accum}: suspiciously slow "
+                  f"({rec['value']} samples/s), one cached retry",
+                  file=sys.stderr)
+            rec2 = run_rung(bs, accum)
+            rec = rec2 if rec2 is not None and rec2["value"] > rec["value"] \
+                else rec
+        if rec is not None:
+            print(json.dumps(rec), flush=True)
+        elif (bs, accum) == (96, 3):
+            # the reference-batch witness is a VERDICT deliverable: record
+            # the reason it did not land in the JSON stream, not just stderr
+            print(json.dumps({"note": "pretrain rung batch=96 accum=3 did "
+                              "not land (worker failed or OOMed; see bench "
+                              "stderr)"}), flush=True)
+
+    # 4c. best-MFU line: MFU and samples/s are different optima (VERDICT r4
+    #     weak #1) — report the best PLAUSIBLE utilization witnessed across
+    #     every rung this run alongside the throughput line.
+    mfu_recs = [r for r in plausible_recs if r.get("mfu")]
+    if mfu_recs:
+        best = max(mfu_recs, key=lambda r: r["mfu"])
+        print(json.dumps({
+            "metric": "pretrain_mfu",
+            "value": best["mfu"],
+            "unit": "model_flop_utilization",
+            "vs_baseline": None,
+            "samples_per_sec": best["value"],
+            "batch": best.get("batch"),
+            "accum": best.get("accum"),
+            "step_ms_best": best.get("step_ms_best"),
+            "step_ms_windows": best.get("step_ms_windows"),
+        }), flush=True)
 
     # final line = the headline, re-printed so last-JSON-line parsers (the
     # driver's BENCH_r*.json "parsed" field) record the north-star metric.

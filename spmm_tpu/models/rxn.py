@@ -55,6 +55,30 @@ def load_encoder_from_pretrain(
     return {**params, "smiles_encoder": enc}
 
 
+def load_encoder_from_pretrain_tree(
+    params: Params,
+    pretrain_params: Params,
+    encoder_cfg: Optional[BertArchConfig] = None,
+) -> Params:
+    """JAX-native counterpart of :func:`load_encoder_from_pretrain`: initialize
+    the 6-layer SMILES encoder from an in-tree (Orbax) pretrain checkpoint's
+    text encoder.  Semantics match the reference's prefix-strip strict=False
+    load (SPMM_models_rxn.py:16-29): embeddings + the first
+    ``encoder_cfg.num_hidden_layers`` layers + the MLM head transfer; the
+    12-layer stack's upper (cross-attention) layers have no destination in
+    the 6-layer no-fusion config and are dropped."""
+    encoder_cfg = encoder_cfg or smiles_config()
+    src = pretrain_params["text_encoder"]
+    n = encoder_cfg.num_hidden_layers
+    layers = [{k: v for k, v in layer.items() if k != "cross_attn"}
+              for layer in src["bert"]["layers"][:n]]
+    enc = {
+        "bert": {"embeddings": src["bert"]["embeddings"], "layers": layers},
+        "mlm_head": src["mlm_head"],
+    }
+    return {**params, "smiles_encoder": enc}
+
+
 def encode_reactants(
     params: Params,
     encoder_cfg: BertArchConfig,

