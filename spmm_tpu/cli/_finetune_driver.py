@@ -82,7 +82,17 @@ def run_finetune(
     n_output: int = 2,
     extended_metrics: bool = False,
     cfg=None,
+    output_dir: Optional[str] = None,
 ):
+    """``output_dir`` (optional) additionally records per-step loss
+    (metrics.jsonl) and the best-val outcome (result.json) — the
+    machine-readable counterpart of the reference's console prints
+    (d_classification.py:139-151)."""
+    import json
+    import os
+
+    from spmm_tpu.utils.logging import MetricLogger
+
     cfg = cfg or text_config()
     tok = SmilesTokenizer()
     params = init_downstream_params(jax.random.PRNGKey(seed), task, cfg,
@@ -117,30 +127,48 @@ def run_finetune(
     best_test = 0.0
     global_step = 0
     t0 = time.time()
-    for epoch in range(fcfg.epochs):
-        print("TRAIN", epoch)
-        batches = prefetch(batch_supervised(
-            tok, train_ds.texts, train_ds.targets, fcfg.batch_size_train,
-            shuffle=True, seed=seed + epoch, drop_last=True))
-        for b in batches:
-            tgt = jnp.asarray(b["target"])
-            if task == "classification":
-                tgt = tgt.astype(jnp.int32)
-            params, opt_state, metrics = step(
-                params, opt_state, jnp.int32(global_step),
-                {"ids": jnp.asarray(b["ids"]), "mask": jnp.asarray(b["mask"]),
-                 "target": tgt},
-                jax.random.fold_in(jax.random.PRNGKey(seed), global_step))
-            global_step += 1
-        val = eval_metric(params, cfg, tok, valid_ds, task,
-                          batch_size=fcfg.batch_size_test)
-        tst = eval_metric(params, cfg, tok, test_ds, task,
-                          extended=extended_metrics,
-                          batch_size=fcfg.batch_size_test)
-        print(f"VALID: {val:.4f}  TEST: {tst:.4f}")
-        if (higher_better and val >= best_valid) or \
-           (not higher_better and val < best_valid):
-            best_valid, best_test = val, tst
+    logger = None
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        logger = MetricLogger(os.path.join(output_dir, "metrics.jsonl"))
+    epochs_out = []
+    try:
+        for epoch in range(fcfg.epochs):
+            print("TRAIN", epoch)
+            batches = prefetch(batch_supervised(
+                tok, train_ds.texts, train_ds.targets, fcfg.batch_size_train,
+                shuffle=True, seed=seed + epoch, drop_last=True))
+            for b in batches:
+                tgt = jnp.asarray(b["target"])
+                if task == "classification":
+                    tgt = tgt.astype(jnp.int32)
+                params, opt_state, metrics = step(
+                    params, opt_state, jnp.int32(global_step),
+                    {"ids": jnp.asarray(b["ids"]),
+                     "mask": jnp.asarray(b["mask"]), "target": tgt},
+                    jax.random.fold_in(jax.random.PRNGKey(seed), global_step))
+                global_step += 1
+                if logger:
+                    logger.log(global_step, {"loss": metrics["loss"],
+                                             "lr": metrics["lr"]})
+            val = eval_metric(params, cfg, tok, valid_ds, task,
+                              batch_size=fcfg.batch_size_test)
+            tst = eval_metric(params, cfg, tok, test_ds, task,
+                              extended=extended_metrics,
+                              batch_size=fcfg.batch_size_test)
+            print(f"VALID: {val:.4f}  TEST: {tst:.4f}")
+            epochs_out.append({"epoch": epoch, "valid": val, "test": tst})
+            if (higher_better and val >= best_valid) or \
+               (not higher_better and val < best_valid):
+                best_valid, best_test = val, tst
+    finally:
+        if logger:
+            logger.close()
     print(f"Training time {time.time() - t0:.1f}s")
     print("Test metric of the checkpoint with best validation:", best_test)
+    if output_dir:
+        with open(os.path.join(output_dir, "result.json"), "w") as f:
+            json.dump({"task": task, "best_valid": best_valid,
+                       "best_test": best_test, "epochs": epochs_out,
+                       "steps": global_step}, f, indent=1)
     return best_test

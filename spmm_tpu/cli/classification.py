@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--min_lr", type=float, default=5e-6)
     p.add_argument("--epoch", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--output_dir", default=None,
+                   help="also write metrics.jsonl + result.json here")
     args = p.parse_args(argv)
 
     seed = seed_everything(args.seed)
@@ -41,7 +43,8 @@ def main(argv=None):
                           batch_size_train=args.batch_size, step_size=50)
     run_finetune("classification", train, valid, test, fcfg,
                  args.checkpoint, seed,
-                 extended_metrics=(args.name == "lidi"))
+                 extended_metrics=(args.name == "lidi"),
+                 output_dir=args.output_dir)
 
 
 if __name__ == "__main__":

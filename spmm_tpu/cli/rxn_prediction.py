@@ -8,6 +8,7 @@ exact-match accuracy; best-val checkpoint saved via Orbax.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -25,9 +26,34 @@ from spmm_tpu.cli._common import make_tokenizer, seed_everything
 from spmm_tpu.data.datasets import USPTODataset, USPTORetroDataset
 from spmm_tpu.data.pipeline import batch_pairs, prefetch
 from spmm_tpu.inference.rxn import predict_beam, predict_greedy
-from spmm_tpu.models.rxn import init_rxn_params, load_encoder_from_pretrain
+from spmm_tpu.models.rxn import (
+    init_rxn_params, load_encoder_from_pretrain,
+    load_encoder_from_pretrain_tree,
+)
 from spmm_tpu.parallel.mesh import auto_mesh
 from spmm_tpu.training.finetune import make_rxn_step
+from spmm_tpu.utils.logging import MetricLogger
+
+
+def load_rxn_checkpoint(params, path: str, encoder_cfg):
+    """Route a --checkpoint path to the right loader (reference
+    d_rxn_prediction.py:160-168 always loads a torch pretrain checkpoint;
+    this CLI additionally accepts our own Orbax trees):
+
+      torch file          -> key-surgery converter (pretrain text_encoder
+                             prefix-strip, SPMM_models_rxn.py:16-29);
+      Orbax SPMM pretrain -> JAX-native tree loader (same semantics);
+      Orbax rxn tree      -> resumed fine-tune params, used as-is.
+    """
+    if is_torch_checkpoint(path):
+        state = load_torch_state_dict(path)
+        params = load_encoder_from_pretrain(params, state, encoder_cfg)
+        return jax.tree.map(jnp.asarray, params)
+    state = restore_checkpoint(path)
+    tree = state["params"] if "params" in state else state
+    if "text_encoder" in tree:   # SPMM pretrain state (e.g. cli.pretrain's)
+        return load_encoder_from_pretrain_tree(params, tree, encoder_cfg)
+    return tree
 
 
 def metric_eval(refs: list[str], cands) -> float:
@@ -103,14 +129,7 @@ def main(argv=None):
     params = init_rxn_params(jax.random.PRNGKey(seed), decoder_cfg,
                              encoder_cfg)
     if args.checkpoint:
-        if is_torch_checkpoint(args.checkpoint):
-            state = load_torch_state_dict(args.checkpoint)
-            params = load_encoder_from_pretrain(params, state, encoder_cfg)
-            params = jax.tree.map(jnp.asarray, params)
-        else:
-            params = restore_checkpoint(args.checkpoint)
-            if "params" in params:
-                params = params["params"]
+        params = load_rxn_checkpoint(params, args.checkpoint, encoder_cfg)
 
     fcfg = FinetuneConfig(lr=args.lr, min_lr=args.min_lr, epochs=args.epoch,
                           batch_size_train=args.batch_size,
@@ -132,32 +151,49 @@ def main(argv=None):
     global_step = 0
     t0 = time.time()
     os.makedirs(args.output_dir, exist_ok=True)
-    for epoch in range(args.epoch):
-        if not args.evaluate:
-            print("TRAIN", epoch)
-            for b in prefetch(batch_pairs(tok, train_ds, args.batch_size,
-                                          shuffle=True, seed=seed + epoch)):
-                params, opt_state, metrics = step(
-                    params, opt_state, jnp.int32(global_step),
-                    {k: jnp.asarray(v) for k, v in b.items()
-                     if k != "n_real"},
-                    jax.random.fold_in(jax.random.PRNGKey(seed), global_step))
-                global_step += 1
-        print("VALIDATION")
-        val = evaluate(params, tok, valid_ds, args.n_beam, eval_bs, mesh)
-        print("Accuracy:", val)
-        print("TEST")
-        tst = evaluate(params, tok, test_ds, args.n_beam, eval_bs, mesh)
-        print("Accuracy:", tst)
-        if not args.evaluate and val >= best_valid:
-            print("SAVING...", tst)
-            save_checkpoint(os.path.join(args.output_dir, "checkpoint_best"),
-                            {"params": params})
-            best_valid, best_test = val, tst
-        if args.evaluate:
-            break
+    logger = MetricLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+    epochs_out = []
+    try:
+        for epoch in range(args.epoch):
+            if not args.evaluate:
+                print("TRAIN", epoch)
+                for b in prefetch(batch_pairs(tok, train_ds, args.batch_size,
+                                              shuffle=True,
+                                              seed=seed + epoch)):
+                    params, opt_state, metrics = step(
+                        params, opt_state, jnp.int32(global_step),
+                        {k: jnp.asarray(v) for k, v in b.items()
+                         if k != "n_real"},
+                        jax.random.fold_in(jax.random.PRNGKey(seed),
+                                           global_step))
+                    global_step += 1
+                    logger.log(global_step, {"loss": metrics["loss"],
+                                             "lr": metrics["lr"]})
+            print("VALIDATION")
+            val = evaluate(params, tok, valid_ds, args.n_beam, eval_bs, mesh)
+            print("Accuracy:", val)
+            print("TEST")
+            tst = evaluate(params, tok, test_ds, args.n_beam, eval_bs, mesh)
+            print("Accuracy:", tst)
+            epochs_out.append({"epoch": epoch, "valid_acc": val,
+                               "test_acc": tst})
+            if not args.evaluate and val >= best_valid:
+                print("SAVING...", tst)
+                save_checkpoint(os.path.join(args.output_dir,
+                                             "checkpoint_best"),
+                                {"params": params})
+                best_valid, best_test = val, tst
+            if args.evaluate:
+                break
+    finally:
+        logger.close()
     print(f"Training time {time.time() - t0:.1f}s")
     print("test ACC of checkpoint with best val ACC:", best_test)
+    # machine-readable outcome for evidence runners / scripting
+    with open(os.path.join(args.output_dir, "result.json"), "w") as f:
+        json.dump({"best_valid_acc": best_valid, "best_test_acc": best_test,
+                   "epochs": epochs_out, "steps": global_step,
+                   "n_beam": args.n_beam, "mode": args.mode}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -26,13 +26,23 @@ def make_ds():
     return SupervisedDataset(texts, y, n_output=2)
 
 
-def test_classification_end_to_end(capsys):
+def test_classification_end_to_end(capsys, tmp_path):
+    import json
+
     ds = make_ds()
     fcfg = FinetuneConfig(lr=5e-4, epochs=4, batch_size_train=4,
                           batch_size_test=8, step_size=2)
     best = run_finetune("classification", ds, ds, ds, fcfg,
-                        checkpoint=None, seed=0, cfg=CFG)
+                        checkpoint=None, seed=0, cfg=CFG,
+                        output_dir=str(tmp_path))
     out = capsys.readouterr().out
     assert "VALID" in out and "TEST" in out
     # a 4-layer model must learn the Cl-vs-O rule on its own train set
     assert best > 0.9, f"AUROC {best}"
+    # machine-readable evidence surface (scripts/run_finetune_evidence.py)
+    with open(tmp_path / "result.json") as f:
+        result = json.load(f)
+    assert result["best_test"] == best and len(result["epochs"]) == 4
+    with open(tmp_path / "metrics.jsonl") as f:
+        steps = [json.loads(l) for l in f if l.strip()]
+    assert len(steps) == result["steps"] and "loss" in steps[0]

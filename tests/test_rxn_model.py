@@ -54,6 +54,35 @@ def test_tree_loader_matches_torch_state_path():
         np.asarray(params["decoder"]["bert"]["embeddings"]["word"]))
 
 
+def test_cli_checkpoint_routing(tmp_path):
+    """The rxn CLI's --checkpoint accepts an Orbax SPMM pretrain state (tree
+    loader) and an Orbax rxn tree (resume) and routes each correctly."""
+    from spmm_tpu.checkpoint.io import save_checkpoint
+    from spmm_tpu.cli.rxn_prediction import load_rxn_checkpoint
+
+    pretrain = init_spmm_params(jax.random.PRNGKey(0), text_cfg=TEXT_CFG,
+                                prop_cfg=PROP_CFG, embed_dim=16,
+                                with_pretrain_heads=True)
+    params = init_rxn_params(jax.random.PRNGKey(1), decoder_cfg=TEXT_CFG,
+                             encoder_cfg=ENC_CFG)
+
+    # SPMM pretrain state (as cli.pretrain saves it: params nested in state)
+    p1 = str(tmp_path / "pretrain_state")
+    save_checkpoint(p1, {"params": pretrain, "step": np.int32(7)})
+    loaded = load_rxn_checkpoint(params, p1, ENC_CFG)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["smiles_encoder"]["bert"]["embeddings"]["word"]),
+        np.asarray(pretrain["text_encoder"]["bert"]["embeddings"]["word"]))
+
+    # rxn fine-tune resume tree (as the CLI's best-val save writes it)
+    p2 = str(tmp_path / "rxn_best")
+    save_checkpoint(p2, {"params": loaded})
+    resumed = load_rxn_checkpoint(params, p2, ENC_CFG)
+    np.testing.assert_array_equal(
+        np.asarray(resumed["decoder"]["bert"]["embeddings"]["word"]),
+        np.asarray(loaded["decoder"]["bert"]["embeddings"]["word"]))
+
+
 def test_rxn_loss_finite_after_tree_load():
     pretrain = init_spmm_params(jax.random.PRNGKey(0), text_cfg=TEXT_CFG,
                                 prop_cfg=PROP_CFG, embed_dim=16,
