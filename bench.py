@@ -471,7 +471,15 @@ def bench_pretrain() -> dict:
         init_pretrain_state, make_pretrain_step,
     )
 
+    from spmm_tpu.utils.prng import set_default_prng
     from spmm_tpu.utils.profiling import compiled_flops, mfu
+
+    # rbg (TPU-native RngBitGenerator) dropout/masking: measured 207.5 ->
+    # 151.6 ms/step at batch 32 vs threefry (-27%, r5 device trace; dropout
+    # fully off reads 131.8).  Same training distribution — the reference's
+    # cuDNN dropout stream is a third stream again (utils/prng.py).
+    prng_impl = os.environ.get("SPMM_PRETRAIN_PRNG", "rbg")
+    set_default_prng(prng_impl)
 
     def run_at_batch(bs, accum=1):
         # bf16 compute + bf16 Adam mu mirror the reference's fp16-AMP
@@ -579,6 +587,7 @@ def bench_pretrain() -> dict:
         "batch": bs,
         "accum": accum,
         "remat": os.environ.get("SPMM_PRETRAIN_REMAT", "1") == "1",
+        "prng": prng_impl,
         # per-window wall-clock step time: the spread across windows is the
         # contention witness — a tight spread means the best-window reading
         # IS the chip's speed; a wide one means the session was contended

@@ -11,6 +11,7 @@ from spmm_tpu.configs import FinetuneConfig
 from spmm_tpu.cli._common import seed_everything
 from spmm_tpu.cli._finetune_driver import run_finetune
 from spmm_tpu.data.datasets import load_bace_c, load_bbbp, load_dili
+from spmm_tpu.utils.prng import add_prng_arg, set_default_prng
 
 DATASETS = {
     "bace": (load_bace_c, ("BACEC_train.csv", "BACEC_valid.csv",
@@ -32,8 +33,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--output_dir", default=None,
                    help="also write metrics.jsonl + result.json here")
+    add_prng_arg(p)
     args = p.parse_args(argv)
 
+    set_default_prng(args.prng)   # before the first PRNGKey
     seed = seed_everything(args.seed)
     loader, files = DATASETS[args.name]
     train, valid, test = (loader(f"{args.data_dir}/{f}") for f in files)

@@ -28,11 +28,13 @@ from spmm_tpu.data.pipeline import batch_pretrain, prefetch
 from spmm_tpu.parallel.mesh import data_parallel_mesh, replicated
 from spmm_tpu.training.pretrain import init_pretrain_state, make_pretrain_step
 from spmm_tpu.utils.logging import MetricLogger
+from spmm_tpu.utils.prng import add_prng_arg, set_default_prng
 from spmm_tpu.utils.profiling import compiled_flops, mfu
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    add_prng_arg(p)
     p.add_argument("--data_path", required=True)
     p.add_argument("--property_cache", default=None)
     p.add_argument("--resume", default=None)
@@ -96,6 +98,7 @@ def main(argv=None):
         p.error("--fsdp is mutually exclusive with --tp/--zero1 (fsdp "
                 "already shards params, EMA and optimizer state; ZeRO-3 "
                 "subsumes ZeRO-1, and tp/fsdp shard the same leaves)")
+    set_default_prng(args.prng)   # before the first PRNGKey
     seed = seed_everything(args.seed)
     tok = make_tokenizer()
     if args.tp > 1:

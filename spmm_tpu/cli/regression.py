@@ -11,6 +11,7 @@ import argparse
 from spmm_tpu.configs import FinetuneConfig
 from spmm_tpu.cli._common import seed_everything
 from spmm_tpu.cli._finetune_driver import run_finetune
+from spmm_tpu.utils.prng import add_prng_arg, set_default_prng
 from spmm_tpu.data.datasets import (
     load_bace_r, load_clearance, load_esol, load_freesolv, load_lipo,
 )
@@ -38,8 +39,10 @@ def main(argv=None):
     p.add_argument("--min_lr", type=float, default=3e-6)
     p.add_argument("--epoch", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=8)
+    add_prng_arg(p)
     args = p.parse_args(argv)
 
+    set_default_prng(args.prng)   # before the first PRNGKey
     seed = seed_everything(args.seed)
     loader, files = DATASETS[args.name]
     train, valid, test = (loader(f"{args.data_dir}/{f}") for f in files)

@@ -23,6 +23,7 @@ from spmm_tpu.checkpoint.io import (
 )
 from spmm_tpu.chem.featurizer import canonicalize
 from spmm_tpu.cli._common import make_tokenizer, seed_everything
+from spmm_tpu.utils.prng import add_prng_arg, set_default_prng
 from spmm_tpu.data.datasets import USPTODataset, USPTORetroDataset
 from spmm_tpu.data.pipeline import batch_pairs, prefetch
 from spmm_tpu.inference.rxn import predict_beam, predict_greedy
@@ -108,8 +109,10 @@ def main(argv=None):
                         "reference forces batch 1 for beam; the batched "
                         "beam kernel has no such constraint)")
     p.add_argument("--seed", type=int, default=None)
+    add_prng_arg(p)
     args = p.parse_args(argv)
 
+    set_default_prng(args.prng)   # before the first PRNGKey
     seed = seed_everything(args.seed)
     tok = make_tokenizer()
     decoder_cfg, encoder_cfg = text_config(), smiles_config()
