@@ -1026,7 +1026,11 @@ def main():
     #     first: (32,1) is the historical MFU record config (r2: 0.555), and
     #     (96,3) emulates the reference per-GPU batch (SPMM_pretrain.py:16)
     #     via accumulation since direct 96 cannot compile on this runtime.
-    extras = [(32, 1, "best-MFU rung"), (96, 3, "reference-batch-96 rung")]
+    # (96,3) first: with rbg it is simultaneously the best samples/s, the
+    # best MFU (r5: 213.7 samples/s, 0.3616), AND the reference per-GPU
+    # batch witness (SPMM_pretrain.py:16) — if the budget only buys one
+    # extra, that is the one.  (32,1) is the historical best-MFU config.
+    extras = [(96, 3, "reference-batch-96 rung"), (32, 1, "best-MFU rung")]
     for bs, accum, why in extras:
         if (bs, accum) in attempted:
             continue
