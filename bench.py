@@ -487,7 +487,7 @@ def _device_step_ms(compiled, state, rng, make_batch, n_steps: int = 4):
             total_us += sum(
                 e.get("dur", 0) for e in ev
                 if e.get("ph") == "X" and "TPU" in pids.get(e["pid"], "")
-                and e["name"].startswith("jit_"))
+                and e["name"].startswith("jit_train_step"))
         if total_us <= 0:
             return None
         return round(total_us / 1e3 / n_steps, 1)
