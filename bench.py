@@ -1026,11 +1026,19 @@ def main():
     #     first: (32,1) is the historical MFU record config (r2: 0.555), and
     #     (96,3) emulates the reference per-GPU batch (SPMM_pretrain.py:16)
     #     via accumulation since direct 96 cannot compile on this runtime.
-    # (96,3) first: with rbg it is simultaneously the best samples/s, the
-    # best MFU (r5: 213.7 samples/s, 0.3616), AND the reference per-GPU
-    # batch witness (SPMM_pretrain.py:16) — if the budget only buys one
-    # extra, that is the one.  (32,1) is the historical best-MFU config.
-    extras = [(96, 3, "reference-batch-96 rung"), (32, 1, "best-MFU rung")]
+    # (96,3) first: with rbg it is simultaneously near-best samples/s, the
+    # reference per-GPU batch witness (SPMM_pretrain.py:16), AND strong MFU
+    # (r5: 213.8 samples/s, 0.3617) — if the budget only buys one extra,
+    # that is the one.  (128,4) is the measured throughput/MFU record
+    # (r5: 215.0 samples/s, 0.3637): microbatch 32 is the per-sample sweet
+    # spot (batch-64 direct runs 13% worse per sample) and accumulation
+    # amortizes the fixed optimizer/EMA/queue cost — saturating by accum 4
+    # (148.9 ms/microstep vs 149.7 at accum 3 vs 154.5 standalone), so
+    # deeper accumulation is not worth another rung.  (32,1) last: the
+    # per-sample sweet-spot witness.  All three are compile-cached.
+    extras = [(96, 3, "reference-batch-96 rung"),
+              (128, 4, "throughput/MFU record rung"),
+              (32, 1, "microbatch sweet-spot rung")]
     for bs, accum, why in extras:
         if (bs, accum) in attempted:
             continue

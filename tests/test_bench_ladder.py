@@ -82,8 +82,10 @@ def test_oom_floor_skips_larger_microbatches(bench, monkeypatch, capsys):
     ])
     lines = run_main(bench, monkeypatch, capsys, fake)
     # post-ladder extras still attempt the 96-accum rung (micro 32 < floor
-    # 64) and the MFU rung — both fail here (script exhausted)
-    assert fake.pretrain_calls == [(64, 1), (64, 2), (96, 3), (32, 1)]
+    # 64), the 128-accum record rung, and the sweet-spot rung — all fail
+    # here (script exhausted)
+    assert fake.pretrain_calls == [(64, 1), (64, 2), (96, 3), (128, 4),
+                                   (32, 1)]
     pretrain = [l for l in lines if l.get("metric") ==
                 "pretrain_samples_per_sec_chip"]
     assert pretrain[-1]["batch"] == 64 and pretrain[-1]["accum"] == 2
@@ -97,7 +99,8 @@ def test_slow_rung_retries_same_config_once(bench, monkeypatch, capsys):
         pretrain_rec(64, 1, 305.0),
     ])
     lines = run_main(bench, monkeypatch, capsys, fake)
-    assert fake.pretrain_calls == [(64, 1), (64, 1), (96, 3), (32, 1)]
+    assert fake.pretrain_calls == [(64, 1), (64, 1), (96, 3), (128, 4),
+                                   (32, 1)]
     pretrain = [l for l in lines if l.get("metric") ==
                 "pretrain_samples_per_sec_chip"]
     # both readings printed, best kept; healthy one stops the ladder
@@ -112,7 +115,7 @@ def test_slow_retry_still_slow_falls_through(bench, monkeypatch, capsys):
     ])
     run_main(bench, monkeypatch, capsys, fake)
     assert fake.pretrain_calls == [(64, 1), (64, 1), (96, 1), (96, 3),
-                                   (32, 1)]
+                                   (128, 4), (32, 1)]
 
 
 def test_headline_reprinted_last(bench, monkeypatch, capsys):
@@ -136,21 +139,24 @@ def test_implausible_mfu_discarded(bench, monkeypatch, capsys):
     pretrain = [l for l in lines if l.get("metric") ==
                 "pretrain_samples_per_sec_chip"]
     assert [p["value"] for p in pretrain] == [320.0]
-    assert fake.pretrain_calls == [(64, 1), (96, 1), (96, 3), (32, 1)]
+    assert fake.pretrain_calls == [(64, 1), (96, 1), (96, 3), (128, 4),
+                                   (32, 1)]
 
 
 def test_mfu_line_reports_best_plausible_rung(bench, monkeypatch, capsys):
     # VERDICT r4 weak #1: throughput and MFU are different optima.  After a
-    # healthy batch-64 break the extras run (96,3) then (32,1); the
-    # pretrain_mfu line must carry the best PLAUSIBLE utilization across all
-    # plausible rungs (here the batch-32 rung), not the throughput winner's.
+    # healthy batch-64 break the extras run (96,3), (128,4), then (32,1);
+    # the pretrain_mfu line must carry the best PLAUSIBLE utilization across
+    # all plausible rungs (here the batch-32 rung), not the throughput
+    # winner's.
     fake = FakeWorkers([
         pretrain_rec(64, 1, 305.0, mfu=0.28),
         pretrain_rec(96, 3, 140.0, mfu=0.30),
+        pretrain_rec(128, 4, 150.0, mfu=0.35),
         pretrain_rec(32, 1, 160.0, mfu=0.55),
     ])
     lines = run_main(bench, monkeypatch, capsys, fake)
-    assert fake.pretrain_calls == [(64, 1), (96, 3), (32, 1)]
+    assert fake.pretrain_calls == [(64, 1), (96, 3), (128, 4), (32, 1)]
     mfu = [l for l in lines if l.get("metric") == "pretrain_mfu"]
     assert len(mfu) == 1
     assert mfu[0]["value"] == 0.55 and mfu[0]["batch"] == 32
@@ -189,8 +195,10 @@ def test_extras_skip_configs_the_ladder_already_ran(bench, monkeypatch,
         pretrain_rec(32, 1, 150.0, mfu=0.55),        # (32,1) healthy
     ])
     lines = run_main(bench, monkeypatch, capsys, fake)
+    # the (128,4) extra was never attempted by the ladder, so it still runs
+    # (and fails — script exhausted) after the attempted configs are skipped
     assert fake.pretrain_calls == [(64, 1), (64, 2), (64, 2), (96, 3),
-                                   (96, 3), (32, 1)]
+                                   (96, 3), (32, 1), (128, 4)]
     mfu = [l for l in lines if l.get("metric") == "pretrain_mfu"]
     assert mfu and mfu[0]["batch"] == 32
 
