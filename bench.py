@@ -83,8 +83,10 @@ MAX_STEPS = 60
 K = 2
 
 FULL_STEPS = 100   # the reference's actual decode cap
-# r3 sweep at 100 steps: 468.6 mol/s @256, 459.5 @128, 355.5 @64
-FULL_STEPS_BATCHES = (256, 128, 64)
+# r5 late sweep at 100 steps: 489.9/486.2 mol/s @512 (quiet chip, two
+# runs; an adjacent contended run read 88.6 — same workload) vs r3's
+# 468.6 @256, 459.5 @128, 355.5 @64
+FULL_STEPS_BATCHES = (512, 256, 128)
 
 # A 60-step headline below this is treated as a contention artifact, not a
 # regression, and earns a retry: the shared chip has produced 47.3 and 792.4
@@ -805,7 +807,7 @@ def main():
             max_steps=MAX_STEPS, device_batches=(512, 256), emit=emit60)}),
             flush=True)
         print(json.dumps({"which": "100step", "value": bench_spmm_tpu_laddered(
-            max_steps=FULL_STEPS, device_batches=(128, 64), emit=emit100)}),
+            max_steps=FULL_STEPS, device_batches=(512, 256), emit=emit100)}),
             flush=True)
         return
     if "--pretrain-only" in sys.argv:
