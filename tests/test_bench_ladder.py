@@ -203,6 +203,39 @@ def test_extras_skip_configs_the_ladder_already_ran(bench, monkeypatch,
     assert mfu and mfu[0]["batch"] == 32
 
 
+def test_pretrain_final_rec_preferred_over_partials(bench, monkeypatch,
+                                                    capsys):
+    # the worker flushes a cumulative partial after every timed window; when
+    # the final rec lands the partials must not shadow it, and when the
+    # worker dies mid-run the LAST partial (most windows) is the reading
+    partial = {"metric": "pretrain_samples_per_sec_chip", "value": 150.0,
+               "unit": "samples/s/chip", "vs_baseline": None, "mfu": 0.25,
+               "batch": 64, "accum": 1, "partial": True}
+    final = {"metric": "pretrain_samples_per_sec_chip", "value": 300.0,
+             "unit": "samples/s/chip", "vs_baseline": None, "mfu": 0.5,
+             "batch": 64, "accum": 1}
+    fake = FakeWorkers([([partial, final], "")])
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    pretrain = [l for l in lines if l.get("metric") ==
+                "pretrain_samples_per_sec_chip"]
+    assert pretrain[0]["value"] == 300.0 and "partial" not in pretrain[0]
+
+
+def test_pretrain_partial_kept_when_worker_dies_mid_run(bench, monkeypatch,
+                                                        capsys):
+    p1 = {"metric": "pretrain_samples_per_sec_chip", "value": 140.0,
+          "unit": "samples/s/chip", "vs_baseline": None, "mfu": 0.24,
+          "batch": 64, "accum": 1, "partial": True}
+    p2 = dict(p1, value=160.0, mfu=0.27)
+    fake = FakeWorkers([([p1, p2], "")])   # no final rec: stalled mid-run
+    lines = run_main(bench, monkeypatch, capsys, fake)
+    pretrain = [l for l in lines if l.get("metric") ==
+                "pretrain_samples_per_sec_chip"]
+    # last partial (most completed windows) wins and, being >= 100, healthy
+    assert pretrain[0]["value"] == 160.0 and pretrain[0]["partial"] is True
+    assert fake.pretrain_calls[0] == (64, 1)
+
+
 class ScriptedDecodeWorkers(FakeWorkers):
     """FakeWorkers whose decode workers follow a per-call script instead of
     always succeeding — models a timed-out worker whose already-flushed
